@@ -1,0 +1,70 @@
+"""Job-level configuration for the syslog pipeline.
+
+The reference library (/root/reference/src/lib.rs:105-123) resolves missing
+years through a caller-supplied callback and defaults the timezone to the
+system-local zone (`Local::now()`, lib.rs:122).  Both are non-deterministic in
+a distributed job, so here they are *pinned job parameters*: a reference
+(year, month) pair drives the canonical year policy and the default timezone
+is an explicit fixed offset in seconds (UTC unless configured otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+# Variant selection, mirroring /root/reference/src/lib.rs:25-33.
+VARIANT_EITHER = "either"
+VARIANT_RFC3164 = "rfc3164"
+VARIANT_RFC5424 = "rfc5424"
+
+#: The canonical year resolver used throughout tests and fixtures.  Mirrors
+#: the reference's own test policy (/root/reference/tests/tests.rs:8-10):
+#: a December date seen in January belongs to the previous year.
+REF_YEAR = 2020
+REF_MONTH = 1
+
+
+def default_year_policy(month: int) -> int:
+    """Resolve the year for a 3164 timestamp that carries none.
+
+    Canonical pinned policy (reference tests.rs:8-10): ``2019 if month == 12
+    else 2020`` — i.e. when the pinned "now" is January, December messages are
+    from the previous year (README.md:74-81 of the reference).
+    """
+    if REF_MONTH == 1 and month == 12:
+        return REF_YEAR - 1
+    return REF_YEAR
+
+
+@dataclass(frozen=True)
+class ParseConfig:
+    """Deterministic parse-time parameters.
+
+    ``tz_offset_seconds``: the default fixed-offset timezone applied to 3164
+    timestamps that carry no zone.  ``None`` mirrors the reference's
+    ``tz=None`` (system-local) path but is *pinned to UTC* for determinism —
+    semantically identical to ``0`` except for the RFC3164 with-year branch
+    quirk replicated in oracle.py / parse.py.
+    """
+
+    variant: str = VARIANT_EITHER
+    tz_offset_seconds: Optional[int] = None  # None == "Local", pinned to UTC
+    year_policy: Callable[[int], int] = field(default=default_year_policy)
+
+    @property
+    def effective_offset(self) -> int:
+        return 0 if self.tz_offset_seconds is None else self.tz_offset_seconds
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Scale/shuffle knobs for the parse → enrich → route → aggregate job."""
+
+    parse: ParseConfig = field(default_factory=ParseConfig)
+    #: sources whose key frequency is high enough to skew the routing shuffle;
+    #: rows from these are salted with xxhash64(doc_id) % salt_buckets.
+    hot_sources: tuple[str, ...] = ("nginx",)
+    salt_buckets: int = 16
+    #: severity bucket boundaries: 0-3 high, 4-5 mid, 6-7 low, null -> "unknown"
+    shuffle_partitions: int = 32
