@@ -1,0 +1,160 @@
+"""Differential tests: vectorized master-regex parser vs plain-Python oracle.
+
+Every behavior divergence between operators/parse.py and oracle.py is a bug
+in one of them; the oracle is itself pinned to the reference semantics by
+tests/test_oracle_golden.py.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from syslog_loose_spark.config import ParseConfig
+from syslog_loose_spark.oracle import parse_message
+from syslog_loose_spark.operators.parse import parse_lines
+from syslog_loose_spark.sources.corpus import GOLDEN_CORPUS
+
+# strings engineered at the grammar's committed-choice edges
+ADVERSARIAL = [
+    "",
+    " ",
+    "-",
+    ":",
+    "<>",
+    "<34>",
+    "<34> ",
+    "<256>Oct 11 22:14:15 host app: message",       # u8 PRI overflow
+    "<192>1 - h a - - - x",                          # facility 24 -> null
+    "<34>99999999999 - h a - - - x",                 # u32 version overflow
+    "<34>1 -x h a - - - x",                          # '-' ts committed, fails
+    "<34>1 - h: a - - - x",                          # host trailing colon
+    "<34>1 - : a - - - x",                           # bare-colon host
+    "<34>1 - h a - - : x",                           # bare-colon msgid
+    "<34>1 - h a - - x",                             # missing SD -> fail
+    "<34>1 - h a - - -x",                            # SD '-' eats one char
+    "<34>1 - h a - - - -x",                          # SD then msg '-x'
+    "<34>1 2003-10-11T22:14:15.003Z",                # ts at EOS, no space
+    "<34>1 - h a 99999999999999999999 - - x",        # pid i32 overflow->name
+    "<34>1 - h a +42 - - x",                         # signed pid
+    "<34>1 - h a - msgid: - x",                      # trailing colon msgid
+    "<34>1 - h a - - [a][b] x",                      # two empty SD elems
+    "<34>1 - h a - - [a] [b] x",                     # space stops many1
+    "<34>1 - h a - - [a]junk x",                     # junk after SD
+    "<34>1 - h a - - [bad unclosed x",               # unterminated elem
+    '<34>1 - h a - - [id k="v"unclosed x',
+    '<34>1 - h a - - [id aa bb="x"] m',              # key containing space
+    '<34>1 - h a - - [id ="x"] m',                   # empty key
+    '<34>1 - h a - - [id= k="v"] m',                 # '=' in id position
+    '<34>1 - h a - - [idkey="v"] m',                 # no space after id
+    '<34>1 - h a - - [id k= "v"] m',                 # space after '='
+    '<34>1 - h a - - [id k ="v"] m',                 # space before '=' (key!)
+    '<34>1 - h a - - [id k=""] m',                   # empty value
+    '<34>1 - h a - - [id k=""x"] m',
+    '<34>1 - h a - - [id k="a\\"] m',                # escaped quote at end
+    '<34>1 - h a - - [id k="\\"] m',                 # only an escape pair
+    '<34>1 - h a - - [id k="v1" k="v2"] m',          # duplicate keys kept
+    "<34>Oct 11 22:14:15 : a message",
+    "<34>OCT 11 22:14:15 : a message",
+    "<34>oct 11 22:14:15 : a message",
+    "<34>Xxx 11 22:14:15 : a message",               # bad month -> fallback
+    "<34>Oct 11 22:14:15: a message",                # trailing ':' on ts
+    "<34>Oct 11 22:14:15:a message",
+    "<34>Oct  11  22:14:15 host app: m",             # multi-space in ts
+    "<34>Oct 11 2008 22:14:15 host app: m",
+    "<34>Oct 99 22:14:15 host app: m",               # invalid day
+    "<34>Feb 29 14:07:19 host app: m",               # leap-dependent
+    "<34>Dec 28 16:49:07 - app[1]: m",               # '-' hostname field
+    "<34>Dec 28 16:49:07 myhost -: m",               # '-' tag field
+    "<34>Dec 28 16:49:07 myhost - : m",
+    "<34>Dec 28 16:49:07 app[notanumber]: m",        # procid name
+    "<34>Dec 28 16:49:07 app[123x]: m",
+    "<34>Dec 28 16:49:07 [1]: m",                    # empty appname systag
+    "<34>Dec 28 16:49:07 app[]: m",                  # empty pid -> not systag
+    "<34>Dec 28 16:49:07 host:rest",                 # colon mid-host
+    "<34>Dec 28 16:49:07 host: rest",
+    "<34>Dec 28 16:49:07 host:: rest",
+    "<34>Dec 28 16:49:07 ::1 app: m",                # ipv6 host
+    "<34>Dec 28 16:49:07 host  two spaces",
+    "<34>Dec 28 16:49:07 host\ttab",
+    "<34>- host app: m",                             # '-' 3164 timestamp
+    "<34>-x host app: m",
+    "<34>2020-10-11T22:14:15.00Z mymachine app[323]: a message",
+    "<34>2020-10-11t22:14:15z m app: x",             # lowercase t/z + space
+    "<34>2020-13-11T22:14:15Z m app: x",             # invalid month 3339
+    "<34>2020-10-11T22:14:15+24:00 m app: x",        # offset out of range
+    "<34>2020-10-11T22:14:15.999999999+00:00 m app: x",  # nanos truncated
+    "<34>Dec 28 16:49:07 host - - -: m",
+    "<13>Feb 13 20:07:26 74794bfb6795 root[8539]:syslog message",
+    "<4>Jan 26 05:59:54 ubnt kernel: [WAN_LOCAL-default-D]IN=eth0 OUT=",
+    "<34>Oct 11 22:14:15 host app: [id k=\"v\"] tail",   # valid 3164 SD
+    "<34>Oct 11 22:14:15 host app: [id] tail",           # empty elem in msg
+    "<34>Oct 11 22:14:15 host app: - leading dash msg",  # SD '-' eats dash
+    "<34>Oct 11 22:14:15 host app: -leading dash msg",
+    "no pri Dec 28 16:49:07 host app: m",
+    "Dec 28 16:49:07 host app: m",
+    "1 - h a - - - just fields",
+    "2 - h a - - - version two",
+    "<165>1 2003-10-11T22:14:15.003Z m e - ID47 "
+    '[id aa="hullo \\"there\\"" bb="let\'s \\\\\\\\do this\\\\\\\\" '
+    'cc="hello [bye\\]" dd="hello\\nbye" ee="not \\esc\\aped"] qwerty',
+    " <34>1 - h a - - - nbsp lead",              # NBSP is whitespace
+    "<34>1 - h x a - - - nbsp in host",
+    "<34>1 - ü ä - - - unicode fields",
+    "<34>Oct 11 22:14:15 host app: msg with \n newline inside",
+    "<34>1 - h a - - - msg with \n newline",
+]
+
+
+def _norm_ts(ts):
+    if ts is None:
+        return None
+    return ts.astimezone(timezone.utc).replace(tzinfo=None)
+
+
+def check_rows(rows, cfg=ParseConfig()):
+    cols = parse_lines(rows, rows, cfg)
+    (c_proto, c_ver, c_fac, c_sev, c_ts, c_off, c_host, c_app, c_pid,
+     c_pname, c_msgid, c_sd, c_msg, c_ok) = cols
+    for i, raw in enumerate(rows):
+        om = parse_message(raw, cfg)
+        ctx = f"row {i!r}: {raw!r}"
+        assert c_proto[i] == om.protocol, ctx
+        assert c_ver[i] == om.version, ctx
+        assert c_fac[i] == om.facility, ctx
+        assert c_sev[i] == om.severity, ctx
+        assert c_ts[i] == _norm_ts(om.timestamp), ctx
+        if om.timestamp is not None:
+            assert c_off[i] == int(om.timestamp.utcoffset().total_seconds()), ctx
+        assert c_host[i] == om.hostname, ctx
+        assert c_app[i] == om.appname, ctx
+        assert c_pid[i] == om.procid_pid, ctx
+        assert c_pname[i] == om.procid_name, ctx
+        assert c_msgid[i] == om.msgid, ctx
+        assert c_sd[i] == om.structured_data, ctx
+        assert c_msg[i] == om.msg, ctx
+
+
+def test_golden_corpus_matches_oracle():
+    check_rows([line for _, line in GOLDEN_CORPUS])
+
+
+def test_adversarial_matches_oracle():
+    check_rows(ADVERSARIAL)
+
+
+def test_adversarial_with_tz_offset():
+    check_rows(ADVERSARIAL, ParseConfig(tz_offset_seconds=5 * 3600))
+    check_rows(ADVERSARIAL, ParseConfig(tz_offset_seconds=-3 * 3600))
+
+
+def test_variants():
+    rows = [line for _, line in GOLDEN_CORPUS]
+    check_rows(rows, ParseConfig(variant="rfc3164"))
+    check_rows(rows, ParseConfig(variant="rfc5424"))
+
+
+def test_year_policy_threading():
+    check_rows(["<34>Feb 29 14:07:19 h a: m"],
+               ParseConfig(year_policy=lambda m: 2019))
+    check_rows(["<34>Feb 29 14:07:19 h a: m"],
+               ParseConfig(year_policy=lambda m: 2020))
