@@ -1,0 +1,62 @@
+"""Checkpoint/resume state table.
+
+A run is split into ``n_chunks`` deterministic input chunks
+(``pmod(xxhash64(doc_id), n_chunks)`` — the predicate is on a *scan* column,
+so it prunes before the parse stage; with an Iceberg input the chunks align
+with table partitions and prune at the manifest level).  After a chunk's
+routed write commits, its lineage/metrics rows plus a commit marker are
+appended to the state table.  A killed run re-executes only chunks without
+a commit marker; each chunk write is a full overwrite of its own directory
+subtree, so replaying a half-written chunk never duplicates rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+STATE_SCHEMA = StructType([
+    StructField("run_id", StringType(), False),
+    StructField("kind", StringType(), False),     # 'chunk_commit' | 'metrics'
+    StructField("chunk", IntegerType(), False),
+    StructField("sink", StringType(), True),
+    StructField("source", StringType(), True),
+    StructField("severity_bucket", StringType(), True),
+    StructField("n_rows", LongType(), True),
+    StructField("watermark_ts", TimestampType(), True),
+    StructField("sum_n_tok", LongType(), True),
+])
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(STATE_SCHEMA).parquet(state_dir)
+    except Exception:
+        return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def completed_chunks(spark: SparkSession, state_dir: str, run_id: str
+                     ) -> set[int]:
+    st = read_state(spark, state_dir)
+    rows = (st.where((F.col("run_id") == run_id)
+                     & (F.col("kind") == "chunk_commit"))
+            .select("chunk").distinct().collect())
+    return {r["chunk"] for r in rows}
+
+
+def commit_chunk(spark: SparkSession, state_dir: str, run_id: str,
+                 chunk: int, metrics: DataFrame) -> None:
+    """Append this chunk's metrics rows, then the commit marker.  The
+    marker is written last: state is only believed if the marker exists."""
+    m = (metrics
+         .withColumn("run_id", F.lit(run_id))
+         .withColumn("kind", F.lit("metrics"))
+         .withColumn("chunk", F.lit(chunk))
+         .select([f.name for f in STATE_SCHEMA.fields]))
+    m.write.mode("append").parquet(state_dir)
+    marker = spark.createDataFrame(
+        [(run_id, "chunk_commit", chunk, None, None, None, None, None, None)],
+        STATE_SCHEMA)
+    marker.write.mode("append").parquet(state_dir)

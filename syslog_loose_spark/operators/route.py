@@ -1,0 +1,62 @@
+"""Routing / fan-out stage with explicit skew salting.
+
+Rows are routed to per-sink targets partitioned by (source,
+severity_bucket); unparseable rows (the *_exact dead-letter semantics,
+lib.rs:137-175) go to the ``dead_letter`` sink.
+
+Scale reasoning (the part that must survive 1000 executors / 10^12 rows):
+
+* ONE pass: the writer partitions by (sink, source, severity_bucket) in a
+  single action — never one filtered job per sink, which would re-run the
+  parse stage per sink.
+* Explicit salting: without clustering, every task writes a file into every
+  partition directory (tasks × dirs small-file explosion); clustering by
+  raw ``source`` instead would put ~60% of all rows (hot nginx) into one
+  task.  So we repartition by (salted_source, severity_bucket) where hot
+  sources get ``pmod(xxhash64(doc_id), K)`` sub-keys: cold partitions get
+  one writer file, hot partitions exactly K, and no task sees more than
+  ~1/K of the hot source.
+* AQE skew-join/coalesce stays on as a complement (session.py), but the
+  salt is deterministic and does not depend on runtime re-planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+
+SINK_COL = "sink"
+DEAD_LETTER = "dead_letter"
+
+
+def with_sink(enriched: DataFrame) -> DataFrame:
+    """sink = dead_letter for fallback rows, else the severity bucket."""
+    return enriched.withColumn(
+        SINK_COL,
+        F.when(~F.col("parse_ok"), F.lit(DEAD_LETTER))
+         .otherwise(F.col("severity_bucket")),
+    )
+
+
+def salted_source(cfg: PipelineConfig):
+    """Deterministic hot-source salt: source '#' xxhash64(doc_id) % K."""
+    hot = F.col("source").isin(*cfg.hot_sources)
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.salt_buckets))
+    return F.when(
+        hot, F.concat_ws("#", F.col("source"), salt.cast("string"))
+    ).otherwise(F.col("source"))
+
+
+def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
+                mode: str = "overwrite") -> None:
+    """Cluster by the salted key, then fan out in one partitioned write."""
+    (
+        routed
+        .repartition(cfg.shuffle_partitions,
+                     salted_source(cfg), F.col("severity_bucket"))
+        .write
+        .partitionBy(SINK_COL, "source", "severity_bucket")
+        .mode(mode)
+        .parquet(out_dir)
+    )

@@ -1,0 +1,69 @@
+"""End-to-end job assembly: parse → enrich → route → aggregate, resumable.
+
+Physical profile (SURVEY §3.2/§4.4): one JVM→Python Arrow boundary (the
+parse mapInPandas), one shuffle per chunk (the salted routing repartition),
+one shuffle for the final aggregate.  Everything else is narrow or a
+broadcast join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..operators.aggregate import per_sink_metrics, sink_aggregates
+from ..operators.enrich import enrich
+from ..operators.parse import parse_tokenized
+from ..operators.resume import commit_chunk, completed_chunks
+from ..operators.route import route_write, with_sink
+
+
+def parsed_pipeline(tokens_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The per-row transformation chain (no writes)."""
+    return with_sink(enrich(parse_tokenized(tokens_df, cfg.parse)))
+
+
+def routed_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "routed")
+
+
+def run_pipeline(spark: SparkSession, tokens_df: DataFrame, out_dir: str,
+                 run_id: str, cfg: PipelineConfig = PipelineConfig(),
+                 n_chunks: int = 4,
+                 fail_after_chunk: int | None = None) -> DataFrame:
+    """Execute (or resume) a run.  Returns the final aggregate DataFrame.
+
+    ``fail_after_chunk`` is a test hook: raise after committing that many
+    chunks, simulating a mid-run kill for the resume-idempotence tests.
+    """
+    state_dir = os.path.join(out_dir, "state")
+    done = completed_chunks(spark, state_dir, run_id)
+
+    chunk_key = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks))
+    n_done = 0
+    for c in range(n_chunks):
+        if c in done:
+            continue
+        chunk_in = tokens_df.where(chunk_key == c)   # pre-parse pruning
+        routed = parsed_pipeline(chunk_in, cfg)
+        chunk_dir = os.path.join(routed_dir(out_dir), f"chunk={c}")
+        route_write(routed, chunk_dir, cfg, mode="overwrite")
+        # metrics from the files just written (validates the sink contents)
+        written = spark.read.parquet(chunk_dir)
+        commit_chunk(spark, state_dir, run_id, c, per_sink_metrics(written))
+        n_done += 1
+        if fail_after_chunk is not None and n_done >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {c}")
+
+    all_routed = spark.read.option("basePath", routed_dir(out_dir)) \
+        .parquet(routed_dir(out_dir))
+    agg = sink_aggregates(all_routed)
+    agg.write.mode("overwrite").parquet(os.path.join(out_dir, "aggregates"))
+    return spark.read.parquet(os.path.join(out_dir, "aggregates"))
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", routed_dir(out_dir)) \
+        .parquet(routed_dir(out_dir))

@@ -1,0 +1,63 @@
+"""Sources for the tokenized-sequence input table.
+
+Production entry: an Iceberg table of (doc_id, tokens, n_tok, source) —
+``read_tokenized`` falls back to parquet when no Iceberg catalog is
+configured (the sandbox has none).  Test/bench entry: ``generate_tokenized``
+builds the same table *distributedly* (spark.range + mapInPandas), so
+generation scales with the cluster instead of the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..schema import TOKENIZED_SCHEMA
+from .corpus import GOLDEN_CORPUS, SOURCES, _MIX, tokenize
+
+
+def read_tokenized(spark, path: str):
+    """Read the input table.  Iceberg when the path is a catalog table name
+    and an Iceberg catalog is configured; parquet otherwise."""
+    if "/" not in path and "." in path:
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:
+            pass
+    return spark.read.schema(TOKENIZED_SCHEMA).parquet(path)
+
+
+def generate_tokenized(spark, n_rows: int, partitions: int | None = None):
+    """Deterministic distributed generation: row i carries corpus line
+    i % len(corpus) and the skewed arithmetic source assignment
+    (corpus.source_for).  Executor-side, vectorized per Arrow batch."""
+    toks = [np.array(tokenize(line), dtype=np.int32)
+            for _, line in GOLDEN_CORPUS]
+    n_corpus = len(toks)
+    n_sources = len(SOURCES)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mod = ids % n_corpus
+            h = (ids * _MIX) % 100
+            src_idx = np.where(h < 60, 0, 1 + (h % (n_sources - 1)))
+            sources = np.array(SOURCES, dtype=object)[src_idx]
+            yield pd.DataFrame({
+                "doc_id": [f"doc-{i:08d}" for i in ids],
+                "tokens": [toks[m] for m in mod],
+                "n_tok": np.array([len(toks[m]) for m in mod],
+                                  dtype=np.int32),
+                "source": sources,
+            })
+
+    rng = spark.range(0, n_rows, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=TOKENIZED_SCHEMA)
+
+
+def write_fixture(spark, path: str, n_rows: int) -> None:
+    """Materialize a generated table as parquet (exercises the real scan
+    path: column pruning + predicate pushdown)."""
+    generate_tokenized(spark, n_rows).write.mode("overwrite").parquet(path)
