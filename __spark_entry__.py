@@ -1,38 +1,892 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family; ``oracle_sql()``
+gives the DuckDB-checkable equivalent.  Two kinds of oracle:
+
+* honest re-computation in ANSI SQL (relational / dedup / text /
+  similarity / PRI-math queries) — DuckDB independently recomputes the
+  result from the same inputs;
+* reference-semantics VALUES (full tolerant-grammar queries): the expected
+  rows are produced by the *independent plain-Python oracle parser*
+  (syslog_loose_spark/oracle.py, itself pinned to the reference's test
+  corpus), embedded as literals — DuckDB then checks the Spark engine
+  against the reference semantics row for row.
+
+Column names/types are aligned on both sides (driver hashes sorted-by-name
+columns).  Timestamps are emitted as strings, money/float aggregates as
+per-row DECIMAL casts before summing (deterministic across engines) and
+DOUBLE after rounding.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from syslog_loose_spark.config import ParseConfig, PipelineConfig
+from syslog_loose_spark.functions import dedup as D
+from syslog_loose_spark.functions import similarity as S
+from syslog_loose_spark.functions import text as T
+from syslog_loose_spark.operators.enrich import enrich
+from syslog_loose_spark.operators.parse import parse_tokenized
+from syslog_loose_spark.operators.route import with_sink
+from syslog_loose_spark.oracle import (
+    FACILITY_NAMES,
+    SEVERITY_NAMES,
+    parse_message,
+    strip_sd_escapes,
+)
+from syslog_loose_spark.sources.corpus import GOLDEN_CORPUS, SOURCES, _MIX
+from syslog_loose_spark.sources.multimodal import text_as_binary
+from syslog_loose_spark.sources.tokenized import generate_tokenized
+
+N_GEN = 2000          # generated syslog rows for route/agg checks
+CFG = PipelineConfig()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by the syslog queries and their oracles
+# ---------------------------------------------------------------------------
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _corpus_values() -> str:
+    return ",\n".join(
+        f"({i}, {_sql_quote(line)})"
+        for i, (_, line) in enumerate(GOLDEN_CORPUS)
+    )
+
+
+def _sd_canon(sd) -> str:
+    return ";".join(
+        f"{eid}{{{','.join(sorted(f'{k}={v}' for k, v in params))}}}"
+        for eid, params in sd
+    )
+
+
+def _expected_messages():
+    """Reference-semantics expectations per corpus line, via the
+    independent Python oracle."""
+    out = []
+    for i, (_, line) in enumerate(GOLDEN_CORPUS):
+        m = parse_message(line, CFG.parse)
+        from syslog_loose_spark.oracle import ParseFail, parse_message_exact
+        try:
+            parse_message_exact(line, CFG.parse)
+            ok = 1
+        except ParseFail:
+            ok = 0
+        out.append((i, m, ok))
+    return out
+
+
+def _sink_of(m, ok) -> str:
+    if not ok:
+        return "dead_letter"
+    if m.severity is None:
+        return "unknown"
+    return "high" if m.severity <= 3 else "mid" if m.severity <= 5 else "low"
+
+
+def _hour_of(m):
+    if m.timestamp is None:
+        return None
+    from datetime import timezone
+    return (m.timestamp.astimezone(timezone.utc)
+            .replace(minute=0, second=0, microsecond=0, tzinfo=None)
+            .strftime("%Y-%m-%d %H:%M:%S"))
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return _sql_quote(v)
+    return str(v)
+
+
+_SOURCES_SQL = "[" + ",".join(_sql_quote(s) for s in SOURCES[1:]) + "]"
+
+# the generated table reconstructed in SQL (mirrors corpus.source_for and
+# sources/tokenized.generate_tokenized)
+_GEN_ROWS_SQL = f"""
+  gen AS (
+    SELECT i,
+           CAST(i % {len(GOLDEN_CORPUS)} AS INT) AS idx,
+           CASE WHEN (i * {_MIX}) % 100 < 60 THEN 'nginx'
+                ELSE {_SOURCES_SQL}[CAST(((i * {_MIX}) % 100)
+                                    % {len(SOURCES) - 1} AS INT) + 1]
+           END AS source
+    FROM range(0, {N_GEN}) t(i))
+"""
+
+_PRI_SQL = """
+  pri AS (
+    SELECT idx, line,
+           CASE WHEN p IS NOT NULL AND p <= 255 THEN p END AS pri
+    FROM (SELECT idx, line,
+                 TRY_CAST(regexp_extract(line, '^<(\\d+)>', 1) AS BIGINT) AS p
+          FROM corpus))
+"""
+
+
+def _facility_dim_sql() -> str:
+    vals = ",".join(f"({i},{_sql_quote(n)})"
+                    for i, n in enumerate(FACILITY_NAMES))
+    return f"fac_dim(facility_code, facility_name) AS (VALUES {vals})"
+
+
+def _severity_dim_sql() -> str:
+    vals = ",".join(f"({i},{_sql_quote(n)})"
+                    for i, n in enumerate(SEVERITY_NAMES))
+    return f"sev_dim(severity_code, severity_name) AS (VALUES {vals})"
+
+
+def _corpus_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, line) for i, (_, line) in enumerate(GOLDEN_CORPUS)],
+        "idx INT, line STRING")
+
+
+def _parsed_gen(spark: SparkSession) -> DataFrame:
+    """The real engine path over the generated table."""
+    toks = generate_tokenized(spark, N_GEN)
+    return with_sink(enrich(parse_tokenized(toks, CFG.parse)))
+
+
+# ---------------------------------------------------------------------------
+# syslog queries
+# ---------------------------------------------------------------------------
+
+def q_syslog_parse_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = generate_tokenized(spark, len(GOLDEN_CORPUS))
+    p = parse_tokenized(toks, CFG.parse)
+    sd_canon = (
+        "array_join(transform(structured_data, e -> concat(e.id, '{', "
+        "array_join(sort_array(transform(e.params, "
+        "p -> concat(p.key, '=', p.value))), ','), '}')), ';')"
+    )
+    return (
+        p.select(
+            F.expr("cast(substring(doc_id, 5) as bigint)").alias("idx"),
+            "protocol",
+            F.col("version").cast("long").alias("version"),
+            F.col("facility").cast("long").alias("facility"),
+            F.col("severity").cast("long").alias("severity"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            F.col("tz_offset_seconds").cast("long").alias("tz_off"),
+            "hostname", "appname",
+            F.col("procid_pid").cast("long").alias("procid_pid"),
+            "procid_name", "msgid",
+            F.expr(sd_canon).alias("sd_canon"),
+            "msg",
+            F.col("parse_ok").cast("long").alias("parse_ok"),
+        )
+        .orderBy("idx")
+    )
+
+
+def _oracle_parse_golden() -> str:
+    rows = []
+    for i, m, ok in _expected_messages():
+        ts_s = (m.timestamp.astimezone(__import__("datetime").timezone.utc)
+                .strftime("%Y-%m-%d %H:%M:%S.%f")
+                if m.timestamp is not None else None)
+        off = (int(m.timestamp.utcoffset().total_seconds())
+               if m.timestamp is not None else None)
+        rows.append("(" + ",".join([
+            str(i), _lit(m.protocol), _lit(m.version), _lit(m.facility),
+            _lit(m.severity), _lit(ts_s), _lit(off), _lit(m.hostname),
+            _lit(m.appname), _lit(m.procid_pid), _lit(m.procid_name),
+            _lit(m.msgid), _lit(_sd_canon(m.structured_data)), _lit(m.msg),
+            str(ok)]) + ")")
+    return f"""
+WITH expected(idx, protocol, version, facility, severity, ts_s, tz_off,
+              hostname, appname, procid_pid, procid_name, msgid, sd_canon,
+              msg, parse_ok) AS (VALUES {','.join(rows)})
+SELECT CAST(idx AS BIGINT) AS idx, CAST(protocol AS VARCHAR) AS protocol,
+       CAST(version AS BIGINT) AS version, CAST(facility AS BIGINT) AS facility,
+       CAST(severity AS BIGINT) AS severity, CAST(ts_s AS VARCHAR) AS ts_s,
+       CAST(tz_off AS BIGINT) AS tz_off, CAST(hostname AS VARCHAR) AS hostname,
+       CAST(appname AS VARCHAR) AS appname,
+       CAST(procid_pid AS BIGINT) AS procid_pid,
+       CAST(procid_name AS VARCHAR) AS procid_name,
+       CAST(msgid AS VARCHAR) AS msgid, CAST(sd_canon AS VARCHAR) AS sd_canon,
+       CAST(msg AS VARCHAR) AS msg, CAST(parse_ok AS BIGINT) AS parse_ok
+FROM expected ORDER BY idx
+"""
+
+
+def q_syslog_pri_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_loose_spark.schema import decompose_pri_cols
+
+    c = _corpus_df(spark)
+    p = F.expr("try_cast(regexp_extract(line, '^<(\\\\d+)>', 1) as bigint)")
+    pri = F.when(p <= 255, p)
+    fac, sev = decompose_pri_cols(pri)
+    return (
+        c.select(F.col("idx").cast("long").alias("idx"),
+                 pri.cast("long").alias("pri"),
+                 fac.cast("long").alias("facility"),
+                 sev.cast("long").alias("severity"))
+        .orderBy("idx")
+    )
+
+
+def _oracle_pri_decompose() -> str:
+    return f"""
+WITH corpus(idx, line) AS (VALUES {_corpus_values()}),
+{_PRI_SQL.strip()}
+SELECT CAST(idx AS BIGINT) AS idx, CAST(pri AS BIGINT) AS pri,
+       CAST(CASE WHEN pri >> 3 <= 23 THEN pri >> 3 END AS BIGINT) AS facility,
+       CAST(pri & 7 AS BIGINT) AS severity
+FROM pri ORDER BY idx
+"""
+
+
+def q_syslog_enrich_pri_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRI-path enrichment aggregate over the generated 2000-row table:
+    regex PRI -> bit-math -> broadcast dim joins -> hash agg."""
+    from syslog_loose_spark.schema import (
+        decompose_pri_cols, facility_dim, severity_dim)
+
+    gen = generate_tokenized(spark, N_GEN).select(
+        F.expr("cast(substring(doc_id, 5) as bigint)").alias("i"), "source")
+    c = _corpus_df(spark).withColumn("idx", F.col("idx").cast("long"))
+    joined = gen.withColumn("idx", F.col("i") % len(GOLDEN_CORPUS)) \
+        .join(F.broadcast(c), "idx")
+    p = F.expr("try_cast(regexp_extract(line, '^<(\\\\d+)>', 1) as bigint)")
+    pri = F.when(p <= 255, p)
+    fac, sev = decompose_pri_cols(pri)
+    base = joined.select(fac, sev, "source")
+    return (
+        base
+        .join(F.broadcast(facility_dim(spark)),
+              base["facility"] == F.col("facility_code"), "left")
+        .join(F.broadcast(severity_dim(spark)),
+              base["severity"] == F.col("severity_code"), "left")
+        .groupBy("facility_name", "severity_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("facility_name", "severity_name")
+    )
+
+
+def _oracle_enrich_pri_agg() -> str:
+    return f"""
+WITH corpus(idx, line) AS (VALUES {_corpus_values()}),
+{_GEN_ROWS_SQL.strip()},
+{_PRI_SQL.strip().replace('FROM corpus', 'FROM corpus')},
+{_facility_dim_sql()},
+{_severity_dim_sql()}
+SELECT f.facility_name, s.severity_name, COUNT(*) AS n
+FROM gen g
+JOIN pri p USING (idx)
+LEFT JOIN fac_dim f ON f.facility_code =
+    (CASE WHEN p.pri >> 3 <= 23 THEN p.pri >> 3 END)
+LEFT JOIN sev_dim s ON s.severity_code = (p.pri & 7)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_syslog_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_parsed_gen(spark)
+            .groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("sink"))
+
+
+def _oracle_route_counts() -> str:
+    vals = ",".join(
+        f"({i},{_sql_quote(_sink_of(m, ok))})"
+        for i, m, ok in _expected_messages())
+    return f"""
+WITH sinks(idx, sink) AS (VALUES {vals}),
+{_GEN_ROWS_SQL.strip()}
+SELECT s.sink, COUNT(*) AS n
+FROM gen g JOIN sinks s USING (idx)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_syslog_agg_fac_sev_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _parsed_gen(spark)
+        .groupBy(
+            "sink",
+            F.col("facility").cast("long").alias("facility"),
+            F.col("severity").cast("long").alias("severity"),
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sink", "facility", "severity", "hour")
+    )
+
+
+def _oracle_agg_fac_sev_hour() -> str:
+    vals = ",".join(
+        "(" + ",".join([
+            str(i), _sql_quote(_sink_of(m, ok)),
+            _lit(m.facility if ok else None),
+            _lit(m.severity if ok else None),
+            _lit(_hour_of(m) if ok else None)]) + ")"
+        for i, m, ok in _expected_messages())
+    return f"""
+WITH e(idx, sink, facility, severity, hour) AS (VALUES {vals}),
+{_GEN_ROWS_SQL.strip()}
+SELECT e.sink, CAST(e.facility AS BIGINT) AS facility,
+       CAST(e.severity AS BIGINT) AS severity,
+       CAST(e.hour AS VARCHAR) AS hour, COUNT(*) AS n
+FROM gen g JOIN e USING (idx)
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+
+
+def q_syslog_sd_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_loose_spark.functions.sd import strip_sd_escapes_col
+
+    toks = generate_tokenized(spark, len(GOLDEN_CORPUS))
+    p = parse_tokenized(toks, CFG.parse)
+    return (
+        p.select(F.expr("cast(substring(doc_id, 5) as bigint)").alias("idx"),
+                 F.posexplode("structured_data").alias("elem_pos", "e"))
+        .select("idx", F.col("elem_pos").cast("long").alias("elem_pos"),
+                F.col("e.id").alias("sd_id"),
+                F.posexplode("e.params").alias("param_pos", "p"))
+        .select("idx", "elem_pos", "sd_id",
+                F.col("param_pos").cast("long").alias("param_pos"),
+                F.col("p.key").alias("k"),
+                F.col("p.value").alias("v"),
+                strip_sd_escapes_col(F.col("p.value")).alias("v_stripped"))
+        .orderBy("idx", "elem_pos", "param_pos")
+    )
+
+
+def _oracle_sd_params() -> str:
+    rows = []
+    for i, m, _ in _expected_messages():
+        for ei, (eid, params) in enumerate(m.structured_data):
+            for pi, (k, v) in enumerate(params):
+                rows.append("(" + ",".join([
+                    str(i), str(ei), _sql_quote(eid), str(pi),
+                    _sql_quote(k), _sql_quote(v),
+                    _sql_quote(strip_sd_escapes(v))]) + ")")
+    return f"""
+WITH e(idx, elem_pos, sd_id, param_pos, k, v, v_stripped)
+  AS (VALUES {','.join(rows)})
+SELECT CAST(idx AS BIGINT) AS idx, CAST(elem_pos AS BIGINT) AS elem_pos,
+       sd_id, CAST(param_pos AS BIGINT) AS param_pos, k, v, v_stripped
+FROM e ORDER BY idx, elem_pos, param_pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries over the driver test tables
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
+             .alias("sum_base_price"),
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _oracle_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                  .alias("o_orderdate"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _oracle_q3() -> str:
+    return """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .where(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+def _oracle_q5() -> str:
+    return """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+              .cast("double").alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def _oracle_events_hourly() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+         .cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
+    return (totals.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 20)
+            .orderBy("rank"))
+
+
+def _oracle_events_top_users() -> str:
+    return """
+WITH totals AS (
+  SELECT user_id,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, total, n_events,
+       CAST(row_number() OVER (ORDER BY total DESC, user_id) AS BIGINT)
+           AS rank
+FROM totals QUALIFY rank <= 20 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (D.exact_dedup(docs).select("doc_id", "n_dups")
+            .orderBy("doc_id"))
+
+
+def _oracle_dedup_exact() -> str:
+    return """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (D.ngram_jaccard_pairs(docs, threshold=0.5, n=3,
+                                  max_shingle_freq=100000)
+            .orderBy("a", "b"))
+
+
+def _oracle_ngram_jaccard() -> str:
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [array_to_string(ws, ' ')] END AS shl
+  FROM w),
+sh AS (SELECT DISTINCT doc_id AS id, unnest(shl) AS sh FROM sh0),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY sh HAVING f <= 100000),
+shf AS (SELECT sh.id, sh.sh FROM sh JOIN freq USING (sh)),
+common AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS c
+  FROM shf x JOIN shf y USING (sh)
+  WHERE x.id < y.id GROUP BY 1, 2)
+SELECT a, b,
+       ROUND(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = a
+JOIN sizes sb ON sb.id = b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+ORDER BY a, b
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sig = D.minhash_signature(F.col("text"), k=8, n=3)
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(8)],
+    ).orderBy("doc_id")
+
+
+def _oracle_minhash() -> str:
+    a, b = D._coeffs(8)
+    cols = ",\n".join(
+        f"list_min([(h * {a[i]} + {b[i]}) % {D.MERSENNE} for h in hs])"
+        f" AS mh{i}"
+        for i in range(8))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [array_to_string(ws, ' ')] END AS shl
+  FROM w),
+h AS (SELECT doc_id,
+             [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+              for s in shl] AS hs
+      FROM sh)
+SELECT doc_id, {cols}
+FROM h ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _oracle_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(len(w) AS BIGINT)
+                    for w in string_split(text, ' ')]),
+                   (a, b) -> (a * 31 + b) % {T.MOD31}) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(T.avg_word_len(F.col("text")), 4).alias("avg_word_len"),
+        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _oracle_text_quality() -> str:
+    sw = ",".join(_sql_quote(s) for s in T.EN_STOPWORDS)
+    return f"""
+WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+                  string_split(text, ' ') AS ws0
+           FROM documents),
+m AS (SELECT doc_id,
+             len(ws) AS n,
+             len(list_filter(ws, x -> x IN ({sw}))) AS hits,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [CAST(len(x) AS BIGINT) for x in ws0]), (a,b) -> a + b)
+                 AS chars,
+             len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+             len(text) AS tlen
+      FROM w)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(hits * 1.0 / greatest(n, 1), 4) AS stopword_ratio,
+       ROUND(chars * 1.0 / greatest(n, 1), 4) AS avg_word_len,
+       ROUND((least(n / 50.0, 1.0)
+              + least(hits * 1.0 / greatest(n, 1) * 5.0, 1.0)
+              + (1.0 - least(punct * 1.0 / greatest(tlen, 1) * 4.0, 1.0)))
+             / 3.0, 4) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       T.lang_id(F.col("text")).alias("lang_pred")) \
+        .orderBy("doc_id")
+
+
+def _oracle_lang_id() -> str:
+    en = ",".join(_sql_quote(s) for s in T.EN_STOPWORDS)
+    de = ",".join(_sql_quote(s) for s in T.DE_STOPWORDS)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+v AS (SELECT doc_id,
+             len(list_filter(ws, x -> x IN ({en}))) AS en,
+             len(list_filter(ws, x -> x IN ({de}))) AS de
+      FROM w)
+SELECT doc_id,
+       CASE WHEN en > de AND en > 0 THEN 'en'
+            WHEN de > en AND de > 0 THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM v ORDER BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5) \
+        .orderBy("query_id", "rank")
+
+
+def _oracle_ann() -> str:
+    return """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))),
+                   4) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INT)
+           AS rank,
+       neighbor_id, sim
+FROM s QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", S.norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("nrm").cast("decimal(18,9)")), 4)
+              .cast("double").alias("sum_norm"))
+        .orderBy("label")
+    )
+
+
+def _oracle_embedding_norms() -> str:
+    return """
+WITH n AS (SELECT label,
+                  sqrt(list_reduce(list_prepend(0.0,
+                      [CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                       for y in embedding]),
+                      (acc, v) -> acc + v)) AS nrm
+           FROM embeddings)
+SELECT label, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(nrm AS DECIMAL(18,9))), 4) AS DOUBLE) AS sum_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (text_as_binary(docs)
+            .select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"))
+            .orderBy("doc_id"))
+
+
+def _oracle_multimodal_bytes() -> str:
+    return """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible or engine-specific hashing)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.minhash_lsh_candidates(docs, k=8, bands=4).orderBy("a", "b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select("doc_id",
+                       D.simhash64(F.col("text")).alias("simhash")) \
+        .orderBy("doc_id")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = [[(1 if (i * 13 + j * 7) % 5 < 2 else -1)
+               for j in range(64)] for i in range(4)]
+    return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10), planes, k=5) \
+        .orderBy("query_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_loose_spark.sources.multimodal import (
+        extract_features, media_table)
+
+    return extract_features(media_table(spark, 64)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full parse → enrich → route → aggregate chain over the
+    tokenized syslog table (sized off sf0.001's documents count)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = max(docs.count(), len(GOLDEN_CORPUS))
+    toks = generate_tokenized(spark, n)
+    parsed = with_sink(enrich(parse_tokenized(toks, CFG.parse)))
+    return (
+        parsed.groupBy("sink", "facility_name", "severity_name")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_tok").alias("sum_n_tok"))
+        .orderBy("sink", "facility_name", "severity_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "syslog_parse_golden": q_syslog_parse_golden,
+        "syslog_pri_decompose": q_syslog_pri_decompose,
+        "syslog_enrich_pri_agg": q_syslog_enrich_pri_agg,
+        "syslog_route_counts": q_syslog_route_counts,
+        "syslog_agg_fac_sev_hour": q_syslog_agg_fac_sev_hour,
+        "syslog_sd_params": q_syslog_sd_params,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "multimodal_bytes": q_multimodal_bytes,
+        # rows-only (no SQL oracle): LSH candidate generation & simhash use
+        # engine-internal hashing; media features are pandas-UDF plumbing
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash": q_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "syslog_parse_golden": _oracle_parse_golden(),
+        "syslog_pri_decompose": _oracle_pri_decompose(),
+        "syslog_enrich_pri_agg": _oracle_enrich_pri_agg(),
+        "syslog_route_counts": _oracle_route_counts(),
+        "syslog_agg_fac_sev_hour": _oracle_agg_fac_sev_hour(),
+        "syslog_sd_params": _oracle_sd_params(),
+        "q1_pricing_summary": _oracle_q1(),
+        "q3_top_orders": _oracle_q3(),
+        "q5_nation_revenue": _oracle_q5(),
+        "events_hourly": _oracle_events_hourly(),
+        "events_top_users": _oracle_events_top_users(),
+        "dedup_exact": _oracle_dedup_exact(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "minhash_signatures": _oracle_minhash(),
+        "doc_fingerprint": _oracle_fingerprint(),
+        "text_quality": _oracle_text_quality(),
+        "lang_id": _oracle_lang_id(),
+        "ann_cosine_topk": _oracle_ann(),
+        "embedding_norms": _oracle_embedding_norms(),
+        "multimodal_bytes": _oracle_multimodal_bytes(),
+    }

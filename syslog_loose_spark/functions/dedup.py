@@ -1,0 +1,167 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale shapes:
+  * exact_dedup      — hash-groupBy, one shuffle on the content hash
+  * ngram jaccard    — shingle explode + self-join on shingle (bounded by
+                       shingle frequency; cap hot shingles before joining)
+  * MinHash + LSH    — signature via portable md5-based hashing, banded
+                       bucket join: candidate generation cost is
+                       O(rows × bands), never O(rows²)
+  * SimHash          — 64-bit sign-aggregated word hashes, near-dup via
+                       hamming distance on bucketed prefixes
+
+The word/shingle hash is the first 8 hex chars of md5 — identical in Spark
+and DuckDB, which keeps MinHash signatures oracle-checkable in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE = 2147483647  # 2^31-1, the classic MinHash modulus
+
+
+def content_hash(text: Column) -> Column:
+    return F.md5(F.encode(text, "UTF-8"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact content hash.  One hash-shuffle."""
+    return (
+        df.select(content_hash(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_hash(col: Column) -> Column:
+    """Portable string->int64: first 32 bits of md5 (matches the DuckDB
+    expression CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8),
+                  16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct set per doc downstream)."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(w) - F.lit(n))
+    return F.when(
+        F.size(w) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(w, " ")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    Shuffle plan: explode -> distinct -> self-join on shingle -> count
+    common -> join per-doc sizes (broadcastable when docs are few; fine as
+    shuffle join at scale).  ``max_shingle_freq`` drops degenerate hot
+    shingles that would square the join (the standard guard at web scale).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.array_distinct(
+                      shingles(F.col(text_col), n))).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "sh")
+    common = (
+        sh.alias("x").join(sh.alias("y"), "sh")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("id", "a")
+                   .withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b")
+                   .withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard",
+                    F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# deterministic affine MinHash coefficients (any fixed odd-ish constants)
+def _coeffs(k: int):
+    a = [(2 * i + 1) * 1000003 % MERSENNE for i in range(1, k + 1)]
+    b = [(i * i + 7) * 999983 % MERSENNE for i in range(1, k + 1)]
+    return a, b
+
+
+def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
+    """k-wide MinHash over word n-gram shingles:
+    sig_i = min over shingles of (a_i * h(s) + b_i) mod 2^31-1."""
+    a, b = _coeffs(k)
+    hashes = F.transform(F.array_distinct(shingles(text, n)), word_hash)
+
+    # NB: plain 2-arg lambdas only — a default-arg capture changes the
+    # detected arity and pyspark binds the array-index column instead.
+    def _mh(ai: int, bi: int):
+        return lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(MERSENNE)
+
+    return F.array(*[
+        F.array_min(F.transform(hashes, _mh(a[i], b[i]))).alias(f"mh{i}")
+        for i in range(k)
+    ])
+
+
+def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
+                           n: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: equal band-slices of the signature land in the same
+    bucket; candidate pairs come from a groupBy-bucket self-join — the
+    scalable alternative to the quadratic all-pairs comparison."""
+    rows = k // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), k, n).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.concat_ws(",", *[
+                         F.col("sig")[bi * rows + r].cast("string")
+                         for r in range(rows)]).alias("key"))
+            for bi in range(bands)])).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    return (
+        banded.alias("x").join(banded.alias("y"), ["band", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over words: bit_j = sign of sum over words of
+    (bit_j(h(w)) ? +1 : -1).  Uses two 32-bit md5-derived halves."""
+    w = F.split(text, " ")
+    h1 = F.transform(w, word_hash)
+    h2 = F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(F.encode(x, "UTF-8")), 9, 8),
+                            16, 10).cast("long"))
+
+    def _bit_vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    def bits_sum(hs, nbits):
+        return [F.aggregate(hs, F.lit(0).cast("long"), _bit_vote(j))
+                for j in range(nbits)]
+
+    parts = bits_sum(h1, 32) + bits_sum(h2, 32)
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(parts):
+        out = out + F.when(
+            s > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return out

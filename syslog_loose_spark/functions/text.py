@@ -1,0 +1,84 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure JVM-side column expressions (whole-stage-codegen friendly; no
+Python boundary): token counting, quality scoring, language-ID heuristic,
+rolling-hash document fingerprinting.  Each has an exact ANSI-SQL
+equivalent used for the DuckDB oracle checks in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny embedded stopword lists for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that",
+                "for", "on", "with", "as", "this")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+                "den", "von", "mit", "für", "auf", "nicht")
+
+MOD31 = 2147483647
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the deterministic 'tokenizer')."""
+    return F.size(words(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column, stopwords=EN_STOPWORDS) -> Column:
+    w = words(F.lower(text))
+    hits = F.size(F.filter(w, lambda x: x.isin(*stopwords)))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def avg_word_len(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap composite quality signal: penalize very short docs, very low
+    stopword density and heavy punctuation."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    p_score = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0),
+                                   F.lit(1.0))
+    return (len_score + sw_score + p_score) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-voting language heuristic: en vs de vs unknown."""
+    w = words(F.lower(text))
+    en = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS)))
+    de = F.size(F.filter(w, lambda x: x.isin(*DE_STOPWORDS)))
+    return (
+        F.when((en > de) & (en > 0), F.lit("en"))
+        .when((de > en) & (de > 0), F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling polynomial hash over word lengths,
+    mod 2^31-1 — a cheap, engine-portable document fingerprint."""
+    return F.aggregate(
+        words(text),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.length(x)) % F.lit(MOD31),
+    )
