@@ -605,10 +605,10 @@ ORDER BY a, b
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    sig = D.minhash_signature(F.col("text"), k=8, n=3)
-    return docs.select(
-        "doc_id",
-        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(8)],
+    sig = D.minhash_signature_df(docs, k=8, n=3)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(8)],
     ).orderBy("doc_id")
 
 

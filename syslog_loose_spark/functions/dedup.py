@@ -114,6 +114,30 @@ def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
     ])
 
 
+def minhash_signature_df(df: DataFrame, k: int = 8, n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id"
+                         ) -> DataFrame:
+    """(id, sig) with the shingle-hash array materialized ONCE per row —
+    the 8 per-permutation mins then reuse it, which keeps the codegen tree
+    small and evaluates md5 once per shingle instead of once per
+    (shingle × permutation)."""
+    a, b = _coeffs(k)
+
+    def _mh(ai: int, bi: int):
+        return lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(MERSENNE)
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.array_distinct(shingles(F.col(text_col), n)),
+                    word_hash).alias("hs"),
+    )
+    return hashed.select(
+        "id",
+        F.array(*[F.array_min(F.transform(F.col("hs"), _mh(a[i], b[i])))
+                  for i in range(k)]).alias("sig"),
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
                            n: int = 3, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
@@ -121,8 +145,7 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
     bucket; candidate pairs come from a groupBy-bucket self-join — the
     scalable alternative to the quadratic all-pairs comparison."""
     rows = k // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), k, n).alias("sig"))
+    sig = minhash_signature_df(df, k, n, text_col, id_col)
     banded = sig.select(
         "id",
         F.explode(F.array(*[

@@ -279,67 +279,333 @@ def _parse_3164(h: str, cfg: ParseConfig):
     return (ts, host, app, pid, pname, sd, m.group("msg"))
 
 
-# row tuple layout (matches schema.SYSLOG_FIELDS order)
-_FALLBACK_PREFIX = ("RFC3164", None, None, None, None, None, None, None,
-                    None, None, None)
+# ---------------------------------------------------------------------------
+# fast path: one combined possessive regex per protocol + memoized
+# timestamp / structured-data sub-parses + integer epoch arithmetic.
+# Any row that hits a rare semantic edge (PRI overflow, invalid month or
+# calendar date, digit overflow) BAILS to the exact slow path above, so the
+# fast path never has to replicate nom's cross-alternative fallthrough.
+# ---------------------------------------------------------------------------
+
+_EPOCH_ORD = 719163  # date(1970,1,1).toordinal()
+_US = 1_000_000
+
+_RXF_5424 = re.compile(
+    r'(?:<(?P<pri>\d++)>)?+'
+    r'(?P<ver>\d++)'
+    r'[ \t]++'
+    r'(?P<ts>-(?=[ \t])|[^ ]++)'
+    r'[ \t]++'
+    r'(?P<host>\S++)'
+    r'[ \t]++'
+    r'(?P<app>\S++)'
+    r'[ \t]++'
+    r'(?P<proc>\S++)'
+    r'[ \t]++'
+    r'(?P<msgid>\S++)'
+    r'[ \t]*+'
+    rf'(?P<sd>-|(?:{_ELEM_STRICT_5424}|{_ELEM_PERMISSIVE})++)'
+    r'[ \t]*+'
+    r'(?P<msg>.*)\Z',
+    re.S,
+)
+
+_RXF_3164 = re.compile(
+    r'(?:<(?P<pri>\d++)>)?+'
+    r'[ \t]*+'
+    r'(?:'
+    r'(?P<mon1>[A-Za-z]{3})[ \t]++(?P<d1>\d++)[ \t]++'
+    r'(?P<h1>\d++):(?P<mi1>\d++):(?P<s1>\d++):?+'
+    r'|(?P<mon2>[A-Za-z]{3})[ \t]++(?P<d2>\d++)[ \t]++(?P<y2>\d++)[ \t]++'
+    r'(?P<h2>\d++):(?P<mi2>\d++):(?P<s2>\d++):?+'
+    r'|(?P<tsdash>-)'
+    r'|(?P<ts3>[^ ]++)(?=[ ])'
+    r')'
+    r'(?: (?P<f1>(?:[^\s:]|:(?=\S))++))?+'
+    r'(?: (?P<f2>[^\s:]++))?+'
+    r'[ \t]*+'
+    r'(?::)?+'
+    r'[ \t]*+'
+    rf'(?P<sd>-|(?:{_ELEM_STRICT_3164})++)?+'
+    r'[ \t]*+'
+    r'(?P<msg>.*)\Z',
+    re.S,
+)
+
+_BAIL = object()   # semantic edge -> replay the row through the slow path
+_NOT = object()    # this protocol does not apply -> try the next one
+
+_RXF_3339 = re.compile(
+    r"(\d{4})-(\d{2})-(\d{2})[Tt]"
+    r"(\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?"
+    r"([Zz]|[+-]\d{2}:\d{2})\Z"
+)
+
+
+def _days_from_ymd(y: int, mo: int, d: int, _memo={}):
+    """days since 1970-01-01 or None when the calendar date is invalid."""
+    key = (y, mo, d)
+    v = _memo.get(key, 0)
+    if v != 0:
+        return v
+    try:
+        v = datetime(y, mo, d).toordinal() - _EPOCH_ORD
+    except ValueError:
+        v = None
+    if len(_memo) > 200_000:
+        _memo.clear()
+    _memo[key] = v
+    return v
+
+
+def _rfc3339_fast(tok: str, memo: dict):
+    """tok -> (epoch_us, offset_seconds) or None (invalid)."""
+    hit = memo.get(tok, 0)
+    if hit != 0:
+        return hit if hit is not None else None
+    out = None
+    m = _RXF_3339.match(tok)
+    if m is not None:
+        h, mi, sec = int(m.group(4)), int(m.group(5)), int(m.group(6))
+        if h <= 23 and mi <= 59 and sec <= 59:
+            days = _days_from_ymd(int(m.group(1)), int(m.group(2)),
+                                  int(m.group(3)))
+            if days is not None:
+                frac = m.group(7)
+                us = int(frac[:6].ljust(6, "0")) if frac else 0
+                off = m.group(8)
+                if off in ("Z", "z"):
+                    offs = 0
+                else:
+                    oh, om = int(off[1:3]), int(off[4:6])
+                    offs = ((oh * 3600 + om * 60)
+                            * (1 if off[0] == "+" else -1)
+                            if oh <= 23 and om <= 59 else None)
+                if offs is not None:
+                    epoch = ((days * 86400 + h * 3600 + mi * 60 + sec)
+                             * _US + us - offs * _US)
+                    out = (epoch, offs)
+    memo[tok] = out
+    return out
+
+
+def _dt_to_epoch(ts) -> tuple:
+    """aware datetime -> (epoch_us, offset_seconds); slow-path bridge."""
+    off = int(ts.utcoffset().total_seconds())
+    u = ts.replace(tzinfo=None)
+    days = u.toordinal() - _EPOCH_ORD
+    epoch = ((days * 86400 + u.hour * 3600 + u.minute * 60 + u.second)
+             * _US + u.microsecond - off * _US)
+    return epoch, off
+
+
+def _slow_row(s: str, cfg: ParseConfig, try_5424: bool, try_3164: bool):
+    """Exact per-row parse (the nom-faithful reference path).  Returns a
+    13-tuple (proto, ver, fac, sev, epoch_us, off, host, app, pid, pname,
+    msgid, sd, msg) or None when the row falls back."""
+    fac = sev = None
+    h = s
+    pm = _RX_PRI.match(s)
+    if pm is not None:
+        v = int(pm.group(1))
+        if v <= 255:
+            f = v >> 3
+            fac = f if f <= 23 else None
+            sev = v & 7
+            h = s[pm.end():]
+    if try_5424:
+        try:
+            ver, ts, host, app, pid, pname, msgid, sd, msg = _parse_5424(h)
+            epoch, off = _dt_to_epoch(ts) if ts is not None else (None, None)
+            return ("RFC5424", ver, fac, sev, epoch, off, host, app, pid,
+                    pname, msgid, sd, msg)
+        except _Fail:
+            pass
+    if try_3164:
+        try:
+            ts, host, app, pid, pname, sd, msg = _parse_3164(h, cfg)
+            epoch, off = _dt_to_epoch(ts) if ts is not None else (None, None)
+            return ("RFC3164", None, fac, sev, epoch, off, host, app, pid,
+                    pname, None, sd, msg)
+        except _Fail:
+            pass
+    return None
 
 
 def parse_lines(lines, raws, cfg: ParseConfig):
-    """Parse a batch.  ``lines`` are the trimmed-source strings (detokenized);
-    ``raws`` the verbatim originals used for fallback msg (lib.rs:92).
-    Returns a list of column-lists in SYSLOG_FIELDS order."""
+    """Parse a batch.  ``lines`` are the detokenized strings; ``raws`` the
+    verbatim originals used for fallback msg (lib.rs:92).  Returns column
+    lists in SYSLOG_FIELDS order (ts as int64 epoch microseconds)."""
     n = len(lines)
     cols = [[None] * n for _ in range(14)]
     (c_proto, c_ver, c_fac, c_sev, c_ts, c_off, c_host, c_app, c_pid,
      c_pname, c_msgid, c_sd, c_msg, c_ok) = cols
     try_5424 = cfg.variant in (VARIANT_EITHER, VARIANT_RFC5424)
     try_3164 = cfg.variant in (VARIANT_EITHER, VARIANT_RFC3164)
-    for i in range(n):
-        raw = raws[i]
-        s = lines[i].strip()
-        # PRI (pri.rs:178-184): u8 digits; overflow leaves input unconsumed
-        fac = sev = None
-        h = s
-        pm = _RX_PRI.match(s)
-        if pm is not None:
-            v = int(pm.group(1))
-            if v <= 255:
-                f = v >> 3
-                fac = f if f <= 23 else None
-                sev = v & 7
-                h = s[pm.end():]
-        ok = False
-        if try_5424:
-            try:
-                (ver, ts, host, app, pid, pname, msgid, sd, msg) = \
-                    _parse_5424(h)
-                c_proto[i], c_ver[i] = "RFC5424", ver
-                c_host[i], c_app[i], c_pid[i], c_pname[i] = host, app, pid, pname
-                c_msgid[i], c_sd[i], c_msg[i] = msgid, sd, msg
-                if ts is not None:
-                    c_off[i] = int(ts.utcoffset().total_seconds())
-                    c_ts[i] = ts.astimezone(_UTC).replace(tzinfo=None)
-                ok = True
-            except _Fail:
-                pass
-        if not ok and try_3164:
-            try:
-                ts, host, app, pid, pname, sd, msg = _parse_3164(h, cfg)
-                c_proto[i] = "RFC3164"
-                c_host[i], c_app[i], c_pid[i], c_pname[i] = host, app, pid, pname
-                c_sd[i], c_msg[i] = sd, msg
-                if ts is not None:
-                    c_off[i] = int(ts.utcoffset().total_seconds())
-                    c_ts[i] = ts.astimezone(_UTC).replace(tzinfo=None)
-                ok = True
-            except _Fail:
-                pass
-        if ok:
-            c_fac[i], c_sev[i] = fac, sev
-            c_ok[i] = True
+
+    memo_3339: dict = {}
+    memo_sd5424: dict = {}
+    memo_sd3164: dict = {}
+    memo_3164ts: dict = {}
+    year_of = {mo: cfg.year_policy(mo) for mo in range(1, 13)}
+    off_cfg = cfg.effective_offset
+    explicit_tz = cfg.tz_offset_seconds is not None
+    m5424 = _RXF_5424.match
+    m3164 = _RXF_3164.match
+    months = MONTHS
+
+    def fast_5424(s: str):
+        m = m5424(s)
+        if m is None:
+            return _NOT
+        g = m.group
+        pri = g("pri")
+        if pri is not None:
+            pri = int(pri)
+            if pri > 255:
+                return _BAIL     # nom leaves an overflowing PRI unconsumed
+        ver = int(g("ver"))
+        if ver > U32_MAX:
+            return _NOT
+        tok = g("ts")
+        if tok == "-":
+            epoch = off = None
         else:
+            r = _rfc3339_fast(tok, memo_3339)
+            if r is None:
+                return _NOT
+            epoch, off = r
+        host = g("host")
+        if host == ":" or host[-1] == ":":
+            return _NOT
+        app, proc, msgid = g("app"), g("proc"), g("msgid")
+        if app == ":" or proc == ":" or msgid == ":":
+            return _NOT
+        host = None if host == "-" else host
+        app = None if app == "-" else app
+        msgid = None if msgid == "-" else msgid
+        pid = pname = None
+        if proc != "-":
+            pid, pname = _procid(proc)
+        sds = g("sd")
+        sd = memo_sd5424.get(sds)
+        if sd is None:
+            sd = _sd_elements(sds)
+            memo_sd5424[sds] = sd
+        if pri is None:
+            fac = sev = None
+        else:
+            f = pri >> 3
+            fac = f if f <= 23 else None
+            sev = pri & 7
+        return ("RFC5424", ver, fac, sev, epoch, off, host, app, pid,
+                pname, msgid, sd, g("msg"))
+
+    def fast_3164(s: str):
+        m = m3164(s)
+        if m is None:
+            return _NOT
+        g = m.group
+        pri = g("pri")
+        if pri is not None:
+            pri = int(pri)
+            if pri > 255:
+                return _BAIL
+        mon = g("mon1")
+        if mon is not None:
+            key = (mon, g("d1"), g("h1"), g("mi1"), g("s1"))
+            r = memo_3164ts.get(key, 0)
+            if r == 0:
+                mo = months.get(mon.lower())
+                r = None
+                if mo is not None and len(key[1]) <= 9:
+                    d, hh, mi, ss = (int(key[1]), int(key[2]),
+                                     int(key[3]), int(key[4]))
+                    if hh <= 23 and mi <= 59 and ss <= 59:
+                        days = _days_from_ymd(year_of[mo], mo, d)
+                        if days is not None:
+                            naive = ((days * 86400 + hh * 3600 + mi * 60
+                                      + ss) * _US)
+                            r = (naive - off_cfg * _US, off_cfg)
+                memo_3164ts[key] = r
+            if r is None:
+                # invalid month/date: the with-year and RFC3339 branches
+                # cannot syntactically match a no-year-shaped prefix, so
+                # nom's timestamp (and thus 3164) fails -> fallback
+                return _NOT
+            epoch, off = r
+        elif g("mon2") is not None:
+            key = (g("mon2"), g("d2"), g("y2"), g("h2"), g("mi2"), g("s2"))
+            r = memo_3164ts.get(key, 0)
+            if r == 0:
+                mo = months.get(key[0].lower())
+                r = None
+                if mo is not None and max(len(key[1]), len(key[2])) <= 9:
+                    d, y, hh, mi, ss = (int(key[1]), int(key[2]),
+                                        int(key[3]), int(key[4]),
+                                        int(key[5]))
+                    if hh <= 23 and mi <= 59 and ss <= 59:
+                        days = _days_from_ymd(y, mo, d)
+                        if days is not None:
+                            naive = ((days * 86400 + hh * 3600 + mi * 60
+                                      + ss) * _US)
+                            # with-year + explicit tz: naive treated as UTC
+                            # (timestamp.rs:141-146); else local==pinned tz
+                            r = ((naive, off_cfg) if explicit_tz
+                                 else (naive - off_cfg * _US, off_cfg))
+                memo_3164ts[key] = r
+            if r is None:
+                return _NOT   # same reasoning as the no-year branch
+            epoch, off = r
+        elif g("tsdash") is not None:
+            epoch = off = None
+        else:
+            r = _rfc3339_fast(g("ts3"), memo_3339)
+            if r is None:
+                return _NOT   # all three ts alternatives failed -> fallback
+            epoch, off = r
+        f1, f2 = g("f1"), g("f2")
+        f1 = _ABSENT if f1 is None else (None if f1 == "-" else f1)
+        f2 = _ABSENT if f2 is None else (None if f2 == "-" else f2)
+        host, app, pid_tok = _resolve_host_tag(f1, f2)
+        pid, pname = _procid(pid_tok) if pid_tok is not None else (None, None)
+        sds = g("sd")
+        if sds is None:
+            sd = []
+        else:
+            sd = memo_sd3164.get(sds)
+            if sd is None:
+                sd = _sd_elements(sds)
+                memo_sd3164[sds] = sd
+        if pri is None:
+            fac = sev = None
+        else:
+            f = pri >> 3
+            fac = f if f <= 23 else None
+            sev = pri & 7
+        return ("RFC3164", None, fac, sev, epoch, off, host, app, pid,
+                pname, None, sd, g("msg"))
+
+    for i in range(n):
+        s = lines[i].strip()
+        row = _NOT
+        if try_5424:
+            row = fast_5424(s)
+        if row is _NOT and try_3164:
+            row = fast_3164(s)
+        if row is _BAIL:
+            row = _slow_row(s, cfg, try_5424, try_3164)
+            if row is None:
+                row = _NOT
+        if row is _NOT:
             # tolerant fallback (lib.rs:77-92): all nulls, msg = raw input
-            c_proto[i], c_sd[i], c_msg[i], c_ok[i] = "RFC3164", [], raw, False
+            c_proto[i], c_sd[i], c_msg[i], c_ok[i] = \
+                "RFC3164", [], raws[i], False
+            continue
+        (c_proto[i], c_ver[i], c_fac[i], c_sev[i], c_ts[i], c_off[i],
+         c_host[i], c_app[i], c_pid[i], c_pname[i], c_msgid[i], c_sd[i],
+         c_msg[i]) = row
+        c_ok[i] = True
     return cols
 
 
@@ -350,7 +616,10 @@ def _cols_to_pdf(cols, extra: Optional[dict] = None) -> pd.DataFrame:
              "procid_name", "msgid", "structured_data", "msg", "parse_ok"]
     for name, col in zip(names, cols):
         if name == "ts":
-            data[name] = pd.Series(col, dtype="datetime64[us]")
+            nat = np.iinfo(np.int64).min        # pandas NaT sentinel
+            ints = np.fromiter((nat if v is None else v for v in col),
+                               dtype=np.int64, count=len(col))
+            data[name] = pd.Series(ints.view("M8[us]"))
         elif name == "structured_data":
             data[name] = pd.Series(
                 [None if v is None else

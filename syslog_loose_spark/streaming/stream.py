@@ -1,0 +1,53 @@
+"""Structured Streaming extension of the batch pipeline.
+
+The reference's server example (examples/server/main.rs:16-29) is a
+one-datagram-at-a-time loop; its Spark-native analogue is a micro-batch
+stream: readStream → the same parse/enrich/route column logic →
+windowed counts with a watermark for late data, plus a foreachBatch sink
+that reuses the batch fan-out writer (so the streaming path cannot drift
+from the batch path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+from ..operators.enrich import enrich
+from ..operators.parse import parse_tokenized
+from ..operators.route import with_sink
+
+
+def streaming_transform(stream_df: DataFrame,
+                        cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Apply the full per-row chain to a streaming tokenized DataFrame."""
+    return with_sink(enrich(parse_tokenized(stream_df, cfg.parse)))
+
+
+def windowed_counts(parsed_stream: DataFrame,
+                    window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window facility×severity counts with late-data watermark —
+    the streaming equivalent of aggregate.sink_aggregates."""
+    return (
+        parsed_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"),
+                 "sink", "facility", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"),
+                "sink", "facility", "severity", "n")
+    )
+
+
+def foreach_batch_writer(out_dir: str, cfg: PipelineConfig):
+    """foreachBatch hook reusing the batch router: each micro-batch is
+    fanned out with the same salted partitioned write, under
+    epoch_id-scoped directories for exactly-once replay semantics."""
+    from ..operators.route import route_write
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        route_write(batch_df, f"{out_dir}/epoch={epoch_id}", cfg,
+                    mode="overwrite")
+
+    return write

@@ -105,10 +105,15 @@ ADVERSARIAL = [
 ]
 
 
+EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
 def _norm_ts(ts):
+    """aware datetime -> epoch microseconds (parse_lines representation)."""
     if ts is None:
         return None
-    return ts.astimezone(timezone.utc).replace(tzinfo=None)
+    td = ts - EPOCH
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
 
 
 def check_rows(rows, cfg=ParseConfig()):

@@ -117,6 +117,16 @@ def message_st(draw):
     )
 
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _epoch_us(ts):
+    if ts is None:
+        return None
+    td = ts - _EPOCH
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
+
 def _hostname_eq(a, b):
     # '-' ≡ None (quickcheck.rs:243-247)
     return a == b or (a == "-" and b is None) or (a is None and b == "-")
@@ -148,8 +158,7 @@ def test_roundtrip_vectorized(m):
      c_pname, c_msgid, c_sd, c_msg, c_ok) = cols
     assert c_proto[0] == m.protocol
     assert (c_fac[0], c_sev[0]) == (m.facility, m.severity)
-    want_ts = (m.timestamp.astimezone(timezone.utc).replace(tzinfo=None)
-               if m.timestamp else None)
+    want_ts = _epoch_us(m.timestamp)
     assert c_ts[0] == want_ts
     assert _hostname_eq(m.hostname, c_host[0])
     assert c_app[0] == m.appname
@@ -163,8 +172,7 @@ def test_roundtrip_vectorized(m):
 def _msg_eq(om, cols, i):
     (c_proto, c_ver, c_fac, c_sev, c_ts, c_off, c_host, c_app, c_pid,
      c_pname, c_msgid, c_sd, c_msg, c_ok) = cols
-    want_ts = (om.timestamp.astimezone(timezone.utc).replace(tzinfo=None)
-               if om.timestamp else None)
+    want_ts = _epoch_us(om.timestamp)
     return (c_proto[i] == om.protocol and c_ver[i] == om.version
             and c_fac[i] == om.facility and c_sev[i] == om.severity
             and c_ts[i] == want_ts and c_host[i] == om.hostname
