@@ -1,0 +1,116 @@
+"""Streaming path, multimodal plumbing, LSH recall, simhash sanity."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from syslog_loose_spark.config import PipelineConfig
+from syslog_loose_spark.functions import dedup as D
+from syslog_loose_spark.functions import similarity as S
+from syslog_loose_spark.schema import TOKENIZED_SCHEMA
+from syslog_loose_spark.sources.corpus import GOLDEN_CORPUS
+from syslog_loose_spark.sources.multimodal import (
+    decode_image,
+    extract_features,
+    fake_media,
+    media_table,
+)
+from syslog_loose_spark.sources.tokenized import generate_tokenized
+from syslog_loose_spark.streaming.stream import (
+    streaming_transform,
+    windowed_counts,
+)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Micro-batch the tokenized table through the identical pipeline chain
+    and check the windowed aggregate equals the batch aggregate."""
+    src = str(tmp_path / "stream_src")
+    generate_tokenized(spark, 200).write.parquet(src)
+
+    stream = (spark.readStream.schema(TOKENIZED_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    parsed = streaming_transform(stream, PipelineConfig())
+    agg = windowed_counts(parsed, window="1 hour", watermark="0 seconds")
+
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["hour"], r["sink"], r["facility"], r["severity"]): r["n"]
+           for r in spark.sql("select * from win_counts").collect()}
+
+    batch = streaming_transform(
+        generate_tokenized(spark, 200), PipelineConfig())
+    # null event times cannot be windowed — streaming aggregates cover the
+    # ts-bearing rows only (dead-letter/ts-less rows are routed, not windowed)
+    want = {(r["hour"], r["sink"], r["facility"], r["severity"]): r["n"]
+            for r in batch.where(F.col("ts").isNotNull()).groupBy(
+                F.date_trunc("hour", "ts").alias("hour"),
+                "sink", "facility", "severity")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(got) > 3
+
+
+def test_multimodal_roundtrip(spark):
+    feats = extract_features(media_table(spark, 30)).collect()
+    assert len(feats) == 30
+    for r in feats:
+        w, h = decode_image(fake_media(r["media_id"], r["kind"],
+                                       16 + r["media_id"] % 5,
+                                       9 + r["media_id"] % 4))
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["checksum"] > 0
+
+
+def test_multimodal_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG_not_supported_here")
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, tmp_path):
+    """Every pair with very high n-gram Jaccard must be an LSH candidate
+    (banded MinHash guarantee at jaccard → 1)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = docs.union(docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        "source", "n_chars"))
+    cands = {(r["a"], r["b"]) for r in
+             D.minhash_lsh_candidates(dup, k=8, bands=4).collect()}
+    # exact duplicates (jaccard == 1) must all be found
+    n = docs.count()
+    missing = [(i, i + 100000) for i in range(n)
+               if (i, i + 100000) not in cands]
+    assert not missing, f"missing {len(missing)} exact-dup pairs"
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely here")],
+        "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", D.simhash64(F.col("text")).alias("sh"))
+            .collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_brute_force_vs_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=3).collect()}
+    planes = [[(1 if (i * 13 + j * 7) % 5 < 2 else -1) for j in range(64)]
+              for i in range(2)]  # 2 planes -> 4 buckets, generous recall
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.lsh_topk(emb, q, planes, k=3).collect()}
+    # sanity: the approximate path returns plausible neighbors with
+    # non-trivial overlap (recall depends on bucket granularity)
+    assert len(approx) > 0
+    assert len(exact & approx) / len(exact) > 0.2
