@@ -55,7 +55,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    n_rows = max(int(4_000_000 * sf), 2000)
+    n_rows = max(int(40_000_000 * sf), 2000)
 
     import __spark_entry__ as entry_mod
     from syslog_loose_spark.sources.tokenized import write_fixture
@@ -65,7 +65,7 @@ def main() -> None:
     results: dict[str, float] = {}
 
     spark = make_session(cpus)
-    write_fixture(spark, fixture, n_rows)
+    write_fixture(spark, fixture, n_rows, vary_ts=True)
 
     # headline at full parallelism (warm: one untimed chunk-less pass of
     # the parse stage to JIT/fork python workers)

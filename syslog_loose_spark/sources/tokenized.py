@@ -29,14 +29,24 @@ def read_tokenized(spark, path: str):
     return spark.read.schema(TOKENIZED_SCHEMA).parquet(path)
 
 
-def generate_tokenized(spark, n_rows: int, partitions: int | None = None):
+def generate_tokenized(spark, n_rows: int, partitions: int | None = None,
+                       vary_ts: bool = False):
     """Deterministic distributed generation: row i carries corpus line
     i % len(corpus) and the skewed arithmetic source assignment
-    (corpus.source_for).  Executor-side, vectorized per Arrow batch."""
+    (corpus.source_for).  Executor-side, vectorized per Arrow batch.
+
+    ``vary_ts`` rewrites each line's first MM:SS (minute/second only, so
+    hour buckets and all other parse fields are unchanged) as a function
+    of the row id — benchmarks use it so per-line memoization inside the
+    parser cannot trivialize the measurement."""
+    import re
+
     toks = [np.array(tokenize(line), dtype=np.int32)
             for _, line in GOLDEN_CORPUS]
+    lines = [line for _, line in GOLDEN_CORPUS]
     n_corpus = len(toks)
     n_sources = len(SOURCES)
+    ts_rx = re.compile(r"(\d{2}:)(\d{2}):(\d{2})")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -45,10 +55,22 @@ def generate_tokenized(spark, n_rows: int, partitions: int | None = None):
             h = (ids * _MIX) % 100
             src_idx = np.where(h < 60, 0, 1 + (h % (n_sources - 1)))
             sources = np.array(SOURCES, dtype=object)[src_idx]
+            if vary_ts:
+                row_toks = []
+                for i, m in zip(ids, mod):
+                    sub = ts_rx.sub(
+                        lambda g, i=int(i): f"{g.group(1)}{i % 60:02d}:"
+                                            f"{(i * 7) % 60:02d}",
+                        lines[m], count=1)
+                    row_toks.append(
+                        np.frombuffer(sub.encode("utf-8"), dtype=np.uint8)
+                        .astype(np.int32))
+            else:
+                row_toks = [toks[m] for m in mod]
             yield pd.DataFrame({
                 "doc_id": [f"doc-{i:08d}" for i in ids],
-                "tokens": [toks[m] for m in mod],
-                "n_tok": np.array([len(toks[m]) for m in mod],
+                "tokens": row_toks,
+                "n_tok": np.array([len(t) for t in row_toks],
                                   dtype=np.int32),
                 "source": sources,
             })
@@ -57,7 +79,9 @@ def generate_tokenized(spark, n_rows: int, partitions: int | None = None):
     return rng.mapInPandas(gen, schema=TOKENIZED_SCHEMA)
 
 
-def write_fixture(spark, path: str, n_rows: int) -> None:
+def write_fixture(spark, path: str, n_rows: int,
+                  vary_ts: bool = False) -> None:
     """Materialize a generated table as parquet (exercises the real scan
     path: column pruning + predicate pushdown)."""
-    generate_tokenized(spark, n_rows).write.mode("overwrite").parquet(path)
+    generate_tokenized(spark, n_rows, vary_ts=vary_ts) \
+        .write.mode("overwrite").parquet(path)
