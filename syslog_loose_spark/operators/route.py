@@ -50,11 +50,22 @@ def salted_source(cfg: PipelineConfig):
 
 def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
                 mode: str = "overwrite") -> None:
-    """Cluster by the salted key, then fan out in one partitioned write."""
+    """Cluster by the salted key, then fan out in one partitioned write.
+
+    The repartition keys are exactly the writer's partition columns plus
+    the hot-source salt, so a task holds one (or, for hot sources, 1/K of
+    one) output directory — that keeps the dynamic-partition writer's
+    per-task working set to a couple of open files and (with
+    maxConcurrentOutputFileWriters, session.py) skips its implicit
+    whole-row sort, which dominates write cost for fat token rows."""
+    hot = F.col("source").isin(*cfg.hot_sources)
+    salt = F.when(hot, F.pmod(F.xxhash64(F.col("doc_id")),
+                              F.lit(cfg.salt_buckets))).otherwise(F.lit(0))
     (
         routed
         .repartition(cfg.shuffle_partitions,
-                     salted_source(cfg), F.col("severity_bucket"))
+                     F.col(SINK_COL), F.col("source"),
+                     F.col("severity_bucket"), salt)
         .write
         .partitionBy(SINK_COL, "source", "severity_bucket")
         .mode(mode)

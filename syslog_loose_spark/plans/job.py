@@ -38,9 +38,11 @@ def main(argv=None) -> None:
 
     from pyspark.sql import SparkSession
 
-    from ..config import ParseConfig, PipelineConfig
-    from ..plans.pipeline import run_pipeline
-    from ..sources.tokenized import read_tokenized
+    # absolute imports: spark-submit executes this file as a top-level
+    # script (__main__), so relative imports have no parent package
+    from syslog_loose_spark.config import ParseConfig, PipelineConfig
+    from syslog_loose_spark.plans.pipeline import run_pipeline
+    from syslog_loose_spark.sources.tokenized import read_tokenized
 
     spark = (SparkSession.builder.appName("syslog-loose-spark")
              .config("spark.sql.session.timeZone", "UTC")

@@ -66,7 +66,6 @@ PARSED_SCHEMA = StructType(
         StructField("source", StringType(), False),
         StructField("n_tok", IntegerType(), False),
         StructField("tokens", ArrayType(IntegerType(), False), False),
-        StructField("raw", StringType(), False),
     ]
     + SYSLOG_FIELDS
 )

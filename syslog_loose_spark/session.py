@@ -33,6 +33,10 @@ def get_spark(app_name: str = "syslog-loose-spark",
         # ~10k-row Arrow batches keep the parse UDF's per-batch regex state
         # hot without inflating Python-side peak memory (SURVEY §4.4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # dynamic-partition writes keep up to this many writers open per
+        # task instead of sorting every (fat, token-carrying) row first —
+        # the sort dominates fan-out cost otherwise
+        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -74,7 +74,6 @@ def test_parse_tokenized_matches_oracle(spark):
         raw = corpus_line(idx)
         m = parse_message(raw, CFG.parse)
         ctx = r["doc_id"]
-        assert r["raw"] == raw, ctx
         assert bytes(t & 0xFF for t in r["tokens"]).decode("utf-8") == raw, ctx
         assert r["facility"] == m.facility, ctx
         assert r["severity"] == m.severity, ctx
