@@ -389,6 +389,29 @@ FROM e ORDER BY idx, elem_pos, param_pos
 # relational queries over the driver test tables
 # ---------------------------------------------------------------------------
 
+def q_syslog_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-mode parity (parse_message_with_year_exact, lib.rs:137-175):
+    rows the exact parser rejects, counted per source — the dead-letter
+    routing input."""
+    return (_parsed_gen(spark)
+            .where(~F.col("parse_ok"))
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("source"))
+
+
+def _oracle_dead_letter() -> str:
+    vals = ",".join(f"({i},{1 - ok})"
+                    for i, _, ok in _expected_messages())
+    return f"""
+WITH fails(idx, is_fail) AS (VALUES {vals}),
+{_GEN_ROWS_SQL.strip()}
+SELECT g.source, COUNT(*) AS n
+FROM gen g JOIN fails f USING (idx)
+WHERE f.is_fail = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
@@ -844,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_route_counts": q_syslog_route_counts,
         "syslog_agg_fac_sev_hour": q_syslog_agg_fac_sev_hour,
         "syslog_sd_params": q_syslog_sd_params,
+        "syslog_dead_letter": q_syslog_dead_letter,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
@@ -875,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "syslog_route_counts": _oracle_route_counts(),
         "syslog_agg_fac_sev_hour": _oracle_agg_fac_sev_hour(),
         "syslog_sd_params": _oracle_sd_params(),
+        "syslog_dead_letter": _oracle_dead_letter(),
         "q1_pricing_summary": _oracle_q1(),
         "q3_top_orders": _oracle_q3(),
         "q5_nation_revenue": _oracle_q5(),
