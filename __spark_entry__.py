@@ -412,6 +412,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_syslog_fallback_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance contract on REAL table data: every non-syslog string
+    (events.props JSON) must fall back with msg == input verbatim
+    (lib.rs:77-92) — checked via counts and total byte length."""
+    from syslog_loose_spark.operators.parse import parse_syslog_udf
+
+    ev = _t(spark, sf_dir, "events")
+    m = parse_syslog_udf(CFG.parse)(F.col("props")).alias("m")
+    p = ev.select("props", m).select("props", "m.*")
+    return p.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("parse_ok").cast("long")).alias("n_parsed"),
+        F.sum(F.length("msg")).alias("sum_msg_len"),
+        F.sum((F.col("msg") == F.col("props")).cast("long"))
+         .alias("n_verbatim"),
+    )
+
+
+def _oracle_fallback_verbatim() -> str:
+    return """
+SELECT COUNT(*) AS n,
+       CAST(0 AS BIGINT) AS n_parsed,
+       SUM(CAST(len(props) AS BIGINT)) AS sum_msg_len,
+       COUNT(*) AS n_verbatim
+FROM events
+"""
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
@@ -868,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_agg_fac_sev_hour": q_syslog_agg_fac_sev_hour,
         "syslog_sd_params": q_syslog_sd_params,
         "syslog_dead_letter": q_syslog_dead_letter,
+        "syslog_fallback_verbatim": q_syslog_fallback_verbatim,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
@@ -900,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "syslog_agg_fac_sev_hour": _oracle_agg_fac_sev_hour(),
         "syslog_sd_params": _oracle_sd_params(),
         "syslog_dead_letter": _oracle_dead_letter(),
+        "syslog_fallback_verbatim": _oracle_fallback_verbatim(),
         "q1_pricing_summary": _oracle_q1(),
         "q3_top_orders": _oracle_q3(),
         "q5_nation_revenue": _oracle_q5(),
