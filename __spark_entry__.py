@@ -45,7 +45,15 @@ N_GEN = 2000          # generated syslog rows for route/agg checks
 CFG = PipelineConfig()
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamps are stored as UTC instants and emitted as formatted
+    strings; a non-UTC driver session would shift them.  Pin defensively
+    (the driver owns the session, so we cannot assume session.py ran)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -157,6 +165,7 @@ def _corpus_df(spark: SparkSession) -> DataFrame:
 
 def _parsed_gen(spark: SparkSession) -> DataFrame:
     """The real engine path over the generated table."""
+    _ensure_utc(spark)
     toks = generate_tokenized(spark, N_GEN)
     return with_sink(enrich(parse_tokenized(toks, CFG.parse)))
 
@@ -166,6 +175,7 @@ def _parsed_gen(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_syslog_parse_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
     toks = generate_tokenized(spark, len(GOLDEN_CORPUS))
     p = parse_tokenized(toks, CFG.parse)
     sd_canon = (
@@ -350,6 +360,7 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
 def q_syslog_sd_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_loose_spark.functions.sd import strip_sd_escapes_col
 
+    _ensure_utc(spark)
     toks = generate_tokenized(spark, len(GOLDEN_CORPUS))
     p = parse_tokenized(toks, CFG.parse)
     return (
@@ -875,6 +886,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse → enrich → route → aggregate chain over the
     tokenized syslog table (sized off sf0.001's documents count)."""
+    _ensure_utc(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n = max(docs.count(), len(GOLDEN_CORPUS))
     toks = generate_tokenized(spark, n)
