@@ -671,21 +671,25 @@ def _cols_to_arrow(cols):
 
 
 def parse_tokens_udf(cfg: ParseConfig = ParseConfig()):
-    """Struct-returning *arrow-native* UDF over an int8-remapped tokens
-    column.  Only the (4x-shrunk) token bytes travel JVM→Python — zero
-    pandas conversion in either direction; the original tokens column
-    never round-trips, so every routed row keeps byte equality with its
-    input for free (BASELINE.json per-row invariant)."""
+    """Struct-returning *arrow-native* UDF over the tokens column.  Zero
+    pandas conversion in either direction: the list<int32> arrives as one
+    Arrow buffer, is flattened and narrowed to bytes, and the parsed batch
+    goes back as a directly-built pa.StructArray.  The tokens column never
+    round-trips Python, so every routed row keeps byte equality with its
+    input for free (BASELINE.json per-row invariant).  (A tinyint remap of
+    the tokens measured SLOWER overall: the JVM per-element transform
+    costs more than the 4x Arrow-stream saving.)"""
     from pyspark.sql.functions import arrow_udf
 
     from ..schema import SYSLOG_STRUCT
 
     @arrow_udf(SYSLOG_STRUCT)
-    def _parse(t8: pa.Array) -> pa.Array:
-        if isinstance(t8, pa.ChunkedArray):
-            t8 = t8.combine_chunks()
-        flat = t8.flatten().to_numpy(zero_copy_only=False).view(np.uint8)
-        offs = t8.offsets.to_numpy(zero_copy_only=False)
+    def _parse(tokens: pa.Array) -> pa.Array:
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = tokens.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint8)
+        offs = tokens.offsets.to_numpy(zero_copy_only=False)
         buf = flat.tobytes()
         raws = [buf[offs[j]:offs[j + 1]].decode("utf-8", "replace")
                 for j in range(len(offs) - 1)]
@@ -694,20 +698,13 @@ def parse_tokens_udf(cfg: ParseConfig = ParseConfig()):
     return _parse
 
 
-# int32 token values 0..255 remapped into tinyint's signed range — the
-# Arrow stream to Python shrinks 4x; Python recovers bytes via a uint8
-# view.  (ANSI mode forbids a plain narrowing cast.)
-_T8_EXPR = ("transform(tokens, x -> "
-            "cast(x - case when x > 127 then 256 else 0 end as tinyint))")
-
-
 def parse_tokenized(df, cfg: ParseConfig = ParseConfig()):
     """The pipeline parse stage: (doc_id, tokens, n_tok, source) ->
     PARSED_SCHEMA.  One ArrowEvalPython node = the job's only JVM→Python
     boundary."""
     from pyspark.sql import functions as F
 
-    m = parse_tokens_udf(cfg)(F.expr(_T8_EXPR)).alias("m")
+    m = parse_tokens_udf(cfg)(F.col("tokens")).alias("m")
     return df.select("doc_id", "source", "n_tok", "tokens", m) \
         .select("doc_id", "source", "n_tok", "tokens", "m.*")
 
