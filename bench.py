@@ -104,11 +104,13 @@ def kernel_scaling(cpus: int, rows_per_proc: int = 100_000) -> dict:
     for procs in (1, 4, lo, hi):
         if f"seq_per_sec_{procs}p" in out:
             continue
-        with mp.Pool(procs) as pool:
-            t0 = time.perf_counter()
-            pool.map(_kernel_work, [rows_per_proc] * procs)
-            dt = time.perf_counter() - t0
-        out[f"seq_per_sec_{procs}p"] = round(procs * rows_per_proc / dt, 1)
+        best = float("inf")
+        for _ in range(2):
+            with mp.Pool(procs) as pool:
+                t0 = time.perf_counter()
+                pool.map(_kernel_work, [rows_per_proc] * procs)
+                best = min(best, time.perf_counter() - t0)
+        out[f"seq_per_sec_{procs}p"] = round(procs * rows_per_proc / best, 1)
     out["efficiency_n_to_4n_low"] = round(
         out["seq_per_sec_4p"] / out["seq_per_sec_1p"] / 4, 3)
     out["efficiency_n_to_4n_high"] = round(

@@ -710,15 +710,18 @@ def parse_tokenized(df, cfg: ParseConfig = ParseConfig()):
 
 
 def parse_syslog_udf(cfg: ParseConfig = ParseConfig()):
-    """Scalar Arrow UDF: string column -> SYSLOG_STRUCT (for ad-hoc use,
-    mirroring parse_message, lib.rs:121-123)."""
-    from pyspark.sql.functions import pandas_udf
+    """Arrow-native UDF: string column -> SYSLOG_STRUCT (for ad-hoc use,
+    mirroring parse_message, lib.rs:121-123).  Null input rows behave as
+    empty strings (fallback row with empty msg)."""
+    from pyspark.sql.functions import arrow_udf
 
     from ..schema import SYSLOG_STRUCT
 
-    @pandas_udf(SYSLOG_STRUCT)
-    def _parse(raw: pd.Series) -> pd.DataFrame:
-        vals = raw.fillna("").tolist()
-        return _cols_to_pdf(parse_lines(vals, vals, cfg))
+    @arrow_udf(SYSLOG_STRUCT)
+    def _parse(raw: pa.Array) -> pa.Array:
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        vals = ["" if v is None else v for v in raw.to_pylist()]
+        return _cols_to_arrow(parse_lines(vals, vals, cfg))
 
     return _parse
