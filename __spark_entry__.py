@@ -589,6 +589,36 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — analytic windows."""
+    from syslog_loose_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30) \
+        .orderBy("user_id", "session_seq")
+
+
+def _oracle_sessionize() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+           AS duration_s
+FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
 def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -919,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
+        "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -952,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_revenue": _oracle_q5(),
         "events_hourly": _oracle_events_hourly(),
         "events_top_users": _oracle_events_top_users(),
+        "events_sessionize": _oracle_sessionize(),
         "dedup_exact": _oracle_dedup_exact(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_signatures": _oracle_minhash(),

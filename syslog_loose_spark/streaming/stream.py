@@ -51,3 +51,40 @@ def foreach_batch_writer(out_dir: str, cfg: PipelineConfig):
                     mode="overwrite")
 
     return write
+
+
+def running_source_totals(parsed_stream: DataFrame,
+                          timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-source
+    row/ token totals maintained across micro-batches — the pattern for
+    reference-style accumulating consumers that windowed aggregates can't
+    express (state never expires)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = ("source STRING, total_rows BIGINT, total_tokens BIGINT, "
+                  "batches BIGINT")
+    state_schema = "total_rows BIGINT, total_tokens BIGINT, batches BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        rows = toks = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            toks += int(pdf["n_tok"].sum())
+        if state.exists:
+            prev_rows, prev_toks, batches = state.get
+        else:
+            prev_rows, prev_toks, batches = 0, 0, 0
+        state.update((prev_rows + rows, prev_toks + toks, batches + 1))
+        import pandas as pd
+
+        yield pd.DataFrame({
+            "source": [key[0]],
+            "total_rows": [prev_rows + rows],
+            "total_tokens": [prev_toks + toks],
+            "batches": [batches + 1],
+        })
+
+    return (parsed_stream
+            .groupBy("source")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", timeout))

@@ -114,3 +114,33 @@ def test_brute_force_vs_lsh_recall(spark):
     # non-trivial overlap (recall depends on bucket granularity)
     assert len(approx) > 0
     assert len(exact & approx) / len(exact) > 0.2
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches and
+    converge to the batch aggregate."""
+    from syslog_loose_spark.streaming.stream import running_source_totals
+
+    src = str(tmp_path / "stateful_src")
+    generate_tokenized(spark, 300).write.parquet(src)
+    stream = (spark.readStream.schema(TOKENIZED_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    totals = running_source_totals(
+        streaming_transform(stream, PipelineConfig()))
+    q = (totals.writeStream.format("memory").queryName("runtot")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest state row per source == batch aggregate
+    latest = spark.sql("""
+        select source, max_by(total_rows, batches) as total_rows,
+               max_by(total_tokens, batches) as total_tokens
+        from runtot group by source""").collect()
+    got = {r["source"]: (r["total_rows"], r["total_tokens"]) for r in latest}
+    want = {r["source"]: (r["n"], r["t"]) for r in
+            generate_tokenized(spark, 300).groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t"))
+            .collect()}
+    assert got == want
