@@ -428,6 +428,33 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_syslog_host_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostname extraction through the full engine: per-hostname row and
+    token volume over the generated table (null hostname = no-host rows)."""
+    return (_parsed_gen(spark)
+            .groupBy("hostname")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_tok").alias("sum_n_tok"))
+            .orderBy("hostname"))
+
+
+def _oracle_host_volume() -> str:
+    from syslog_loose_spark.sources.corpus import tokenize
+
+    vals = ",".join(
+        "(" + ",".join([str(i), _lit(m.hostname if ok else None),
+                        str(len(tokenize(GOLDEN_CORPUS[i][1])))]) + ")"
+        for i, m, ok in _expected_messages())
+    return f"""
+WITH h(idx, hostname, n_tok) AS (VALUES {vals}),
+{_GEN_ROWS_SQL.strip()}
+SELECT CAST(h.hostname AS VARCHAR) AS hostname, COUNT(*) AS n,
+       SUM(CAST(h.n_tok AS BIGINT)) AS sum_n_tok
+FROM gen g JOIN h USING (idx)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_syslog_fallback_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance contract on REAL table data: every non-syslog string
     (events.props JSON) must fall back with msg == input verbatim
@@ -944,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_sd_params": q_syslog_sd_params,
         "syslog_dead_letter": q_syslog_dead_letter,
         "syslog_fallback_verbatim": q_syslog_fallback_verbatim,
+        "syslog_host_volume": q_syslog_host_volume,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
@@ -978,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "syslog_sd_params": _oracle_sd_params(),
         "syslog_dead_letter": _oracle_dead_letter(),
         "syslog_fallback_verbatim": _oracle_fallback_verbatim(),
+        "syslog_host_volume": _oracle_host_volume(),
         "q1_pricing_summary": _oracle_q1(),
         "q3_top_orders": _oracle_q3(),
         "q5_nation_revenue": _oracle_q5(),
