@@ -50,11 +50,31 @@ N_GEN = 2000          # generated syslog rows for route/agg checks
 CFG = PipelineConfig()
 
 
+_PYFILE_SESSIONS: set = set()
+
+
 def _ensure_utc(spark: SparkSession) -> None:
-    """Timestamps are stored as UTC instants and emitted as formatted
-    strings; a non-UTC driver session would shift them.  Pin defensively
-    (the driver owns the session, so we cannot assume session.py ran)."""
+    """Session hygiene for a driver-owned SparkSession: pin the UTC session
+    timezone (timestamps are UTC instants emitted as strings) and ship the
+    package to executor Python workers via addPyFile — without it, a
+    session started outside /root/repo cannot unpickle the parse UDF."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = id(spark.sparkContext)
+    if key in _PYFILE_SESSIONS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "syslog_loose_spark")
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            f"syslog_loose_spark_pyfiles_{os.getpid()}")
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip",
+                            root_dir=os.path.dirname(pkg_dir),
+                            base_dir="syslog_loose_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    _PYFILE_SESSIONS.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -679,6 +699,55 @@ FROM totals QUALIFY rank <= 20 ORDER BY rank
 # training-data ops: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (percentile() is exact in Spark;
+    quantile_cont is its DuckDB twin)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_quantiles() -> str:
+    return """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part (broadcast) revenue by brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+def _oracle_brand_revenue() -> str:
+    return """
+SELECT p_brand,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (D.exact_dedup(docs).select("doc_id", "n_dups")
@@ -978,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "brand_revenue": q_brand_revenue,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -1013,6 +1084,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _oracle_events_hourly(),
         "events_top_users": _oracle_events_top_users(),
         "events_sessionize": _oracle_sessionize(),
+        "events_quantiles": _oracle_events_quantiles(),
+        "brand_revenue": _oracle_brand_revenue(),
         "dedup_exact": _oracle_dedup_exact(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_signatures": _oracle_minhash(),
