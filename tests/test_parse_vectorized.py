@@ -102,6 +102,18 @@ ADVERSARIAL = [
     "<34>1 - ü ä - - - unicode fields",
     "<34>Oct 11 22:14:15 host app: msg with \n newline inside",
     "<34>1 - h a - - - msg with \n newline",
+    # unicode edges: multibyte chars in the month take(3) position,
+    # NBSP separators (whitespace in both engines), zero-width joiners
+    "<34>Ωct 11 22:14:15 host app: m",
+    "<34>ÖCT 11 22:14:15 host app: m",
+    "<34>デec 28 16:49:07 h a: m",
+    "<34>Deç 28 16:49:07 h a: m",
+    "<34>Dec\u00a028 16:49:07 h a: m",
+    "<34>Dec 28 16:49:07 hôst äpp: ünï müß",
+    "<34>Oct 11 22:14:15\u2028ls: m",
+    "<34>Oct 11 22:14:15 a\u200bb: m",
+    "\u00a0<34>1 - h a - - - lead nbsp",
+    '<34>1 - h a - - [id ké="vé"] m',
 ]
 
 
