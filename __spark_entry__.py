@@ -326,7 +326,7 @@ JOIN pri p USING (idx)
 LEFT JOIN fac_dim f ON f.facility_code =
     (CASE WHEN p.pri >> 3 <= 23 THEN p.pri >> 3 END)
 LEFT JOIN sev_dim s ON s.severity_code = (p.pri & 7)
-GROUP BY 1, 2 ORDER BY 1, 2
+GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
 """
 
 
@@ -378,7 +378,8 @@ SELECT e.sink, CAST(e.facility AS BIGINT) AS facility,
        CAST(e.severity AS BIGINT) AS severity,
        CAST(e.hour AS VARCHAR) AS hour, COUNT(*) AS n
 FROM gen g JOIN e USING (idx)
-GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+GROUP BY 1, 2, 3, 4
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST
 """
 
 
@@ -469,9 +470,9 @@ def _oracle_host_volume() -> str:
 WITH h(idx, hostname, n_tok) AS (VALUES {vals}),
 {_GEN_ROWS_SQL.strip()}
 SELECT CAST(h.hostname AS VARCHAR) AS hostname, COUNT(*) AS n,
-       SUM(CAST(h.n_tok AS BIGINT)) AS sum_n_tok
+       CAST(SUM(CAST(h.n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok
 FROM gen g JOIN h USING (idx)
-GROUP BY 1 ORDER BY 1
+GROUP BY 1 ORDER BY 1 NULLS FIRST
 """
 
 
@@ -497,7 +498,7 @@ def _oracle_fallback_verbatim() -> str:
     return """
 SELECT COUNT(*) AS n,
        CAST(0 AS BIGINT) AS n_parsed,
-       SUM(CAST(len(props) AS BIGINT)) AS sum_msg_len,
+       CAST(SUM(CAST(len(props) AS BIGINT)) AS BIGINT) AS sum_msg_len,
        COUNT(*) AS n_verbatim
 FROM events
 """

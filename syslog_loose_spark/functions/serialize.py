@@ -13,7 +13,9 @@ def _ts_rfc3339_col(ts: Column, off: Column) -> Column:
     """chrono to_rfc3339 with AutoSi fraction (none / millis / micros) at a
     fixed offset.  ``ts`` is the UTC instant, ``off`` the offset seconds."""
     local = ts + F.make_interval(secs=off.cast("double"))
-    us = F.unix_micros(ts) % 1_000_000
+    # pmod, not %: unix_micros is negative for pre-1970 instants and a
+    # negative remainder would emit a malformed fraction like '.-500'
+    us = F.pmod(F.unix_micros(ts), F.lit(1_000_000))
     frac = (
         F.when(us == 0, F.lit(""))
         .when(us % 1000 == 0,

@@ -56,8 +56,12 @@ _ELEM_PERMISSIVE = r'\[[^\]]*+\]'
 # possessive \S++ (= take_while1 non-whitespace, parsers.rs:25-43);
 # '-' timestamps must be followed by space1 or the alternative is committed
 # and the parse fails (nom alt does not backtrack out of tag("-")).
+# NB: digit atoms are ASCII [0-9] everywhere, never \d — Python \d is
+# Unicode-aware while the reference's nom digit1 (parsers.rs:11-16) accepts
+# ASCII only.  (re.ASCII is NOT an option: it would also narrow \s/\S,
+# whereas Rust char::is_whitespace is Unicode-aware.)
 _RX5424 = re.compile(
-    r'\A(?P<ver>\d++)'
+    r'\A(?P<ver>[0-9]++)'
     r'[ \t]++'
     r'(?P<ts>-(?=[ \t])|[^ ]++)'
     r'[ \t]++'
@@ -79,12 +83,12 @@ _RX5424 = re.compile(
 # validated against the month table; digits possessive; optional trailing
 # ':' after the seconds.
 _RX_TS_NOYEAR = re.compile(
-    r'\A(?P<mon>.{3})[ \t]++(?P<d>\d++)[ \t]++'
-    r'(?P<h>\d++):(?P<mi>\d++):(?P<s>\d++):?'
+    r'\A(?P<mon>.{3})[ \t]++(?P<d>[0-9]++)[ \t]++'
+    r'(?P<h>[0-9]++):(?P<mi>[0-9]++):(?P<s>[0-9]++):?'
 )
 _RX_TS_WITHYEAR = re.compile(
-    r'\A(?P<mon>.{3})[ \t]++(?P<d>\d++)[ \t]++(?P<y>\d++)[ \t]++'
-    r'(?P<h>\d++):(?P<mi>\d++):(?P<s>\d++):?'
+    r'\A(?P<mon>.{3})[ \t]++(?P<d>[0-9]++)[ \t]++(?P<y>[0-9]++)[ \t]++'
+    r'(?P<h>[0-9]++):(?P<mi>[0-9]++):(?P<s>[0-9]++):?'
 )
 
 # RFC3164 header tail after the timestamp (rfc3164.rs:72-85):
@@ -114,7 +118,7 @@ _RX_ELEM = re.compile(
 )
 _RX_PARAM = re.compile(r'(?P<k>[^\]=]++)=[ \t]*+(?P<v>""|"(?:[^"\\]++|\\.)++")')
 
-_RX_PRI = re.compile(r'\A<(\d++)>')
+_RX_PRI = re.compile(r'\A<([0-9]++)>')
 _RX_I32 = re.compile(r'[+-]?[0-9]+\Z')
 _RX_SYSTAG = re.compile(r'([^\s:\[]*+)\[([^\]]++)\]\Z')
 
@@ -272,7 +276,13 @@ def _parse_3164(h: str, cfg: ParseConfig):
         raise _Fail
     f1 = m.group("f1")
     f2 = m.group("f2")
-    f1 = _ABSENT if f1 is None else (None if f1 == "-" else f1)
+    # '-' is NILVALUE only as a bare token: when the hostname token was
+    # '-:' the trailing ':' is split back (parsers.rs:46-54 checks
+    # ends_with(':') BEFORE the '-' check) and the literal '-' is kept.
+    if f1 is None:
+        f1 = _ABSENT
+    elif f1 == "-" and not h.startswith(":", m.end("f1")):
+        f1 = None
     f2 = _ABSENT if f2 is None else (None if f2 == "-" else f2)
     host, app, pid_tok = _resolve_host_tag(f1, f2)
     pid, pname = _procid(pid_tok) if pid_tok is not None else (None, None)
@@ -292,8 +302,8 @@ _EPOCH_ORD = 719163  # date(1970,1,1).toordinal()
 _US = 1_000_000
 
 _RXF_5424 = re.compile(
-    r'(?:<(?P<pri>\d++)>)?+'
-    r'(?P<ver>\d++)'
+    r'(?:<(?P<pri>[0-9]++)>)?+'
+    r'(?P<ver>[0-9]++)'
     r'[ \t]++'
     r'(?P<ts>-(?=[ \t])|[^ ]++)'
     r'[ \t]++'
@@ -312,13 +322,13 @@ _RXF_5424 = re.compile(
 )
 
 _RXF_3164 = re.compile(
-    r'(?:<(?P<pri>\d++)>)?+'
+    r'(?:<(?P<pri>[0-9]++)>)?+'
     r'[ \t]*+'
     r'(?:'
-    r'(?P<mon1>[A-Za-z]{3})[ \t]++(?P<d1>\d++)[ \t]++'
-    r'(?P<h1>\d++):(?P<mi1>\d++):(?P<s1>\d++):?+'
-    r'|(?P<mon2>[A-Za-z]{3})[ \t]++(?P<d2>\d++)[ \t]++(?P<y2>\d++)[ \t]++'
-    r'(?P<h2>\d++):(?P<mi2>\d++):(?P<s2>\d++):?+'
+    r'(?P<mon1>[A-Za-z]{3})[ \t]++(?P<d1>[0-9]++)[ \t]++'
+    r'(?P<h1>[0-9]++):(?P<mi1>[0-9]++):(?P<s1>[0-9]++):?+'
+    r'|(?P<mon2>[A-Za-z]{3})[ \t]++(?P<d2>[0-9]++)[ \t]++(?P<y2>[0-9]++)[ \t]++'
+    r'(?P<h2>[0-9]++):(?P<mi2>[0-9]++):(?P<s2>[0-9]++):?+'
     r'|(?P<tsdash>-)'
     r'|(?P<ts3>[^ ]++)(?=[ ])'
     r')'
@@ -337,9 +347,9 @@ _BAIL = object()   # semantic edge -> replay the row through the slow path
 _NOT = object()    # this protocol does not apply -> try the next one
 
 _RXF_3339 = re.compile(
-    r"(\d{4})-(\d{2})-(\d{2})[Tt]"
-    r"(\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?"
-    r"([Zz]|[+-]\d{2}:\d{2})\Z"
+    r"([0-9]{4})-([0-9]{2})-([0-9]{2})[Tt]"
+    r"([0-9]{2}):([0-9]{2}):([0-9]{2})(?:\.([0-9]+))?"
+    r"([Zz]|[+-][0-9]{2}:[0-9]{2})\Z"
 )
 
 
@@ -566,7 +576,11 @@ def parse_lines(lines, raws, cfg: ParseConfig):
                 return _NOT   # all three ts alternatives failed -> fallback
             epoch, off = r
         f1, f2 = g("f1"), g("f2")
-        f1 = _ABSENT if f1 is None else (None if f1 == "-" else f1)
+        # '-:' split-back keeps the literal '-' hostname (see _parse_3164)
+        if f1 is None:
+            f1 = _ABSENT
+        elif f1 == "-" and not s.startswith(":", m.end("f1")):
+            f1 = None
         f2 = _ABSENT if f2 is None else (None if f2 == "-" else f2)
         host, app, pid_tok = _resolve_host_tag(f1, f2)
         pid, pname = _procid(pid_tok) if pid_tok is not None else (None, None)

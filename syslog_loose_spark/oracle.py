@@ -211,17 +211,25 @@ def _procid_from(tok: str) -> Tuple[Optional[int], Optional[str]]:
 # timestamps (timestamp.rs)
 # ---------------------------------------------------------------------------
 
+# ASCII digits only ([0-9], not Unicode-aware \d) — chrono's RFC3339 parser
+# accepts ASCII digits exclusively.
 _RFC3339_RE = re.compile(
-    r"(\d{4})-(\d{2})-(\d{2})[Tt]"
-    r"(\d{2}):(\d{2}):(\d{2})(\.\d+)?"
-    r"([Zz]|[+-]\d{2}:\d{2})\Z"
+    r"([0-9]{4})-([0-9]{2})-([0-9]{2})[Tt]"
+    r"([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?"
+    r"([Zz]|[+-][0-9]{2}:[0-9]{2})\Z"
 )
 
 
 def parse_rfc3339(tok: str) -> datetime:
     """Strict RFC3339 (chrono parse_from_rfc3339 analogue).  Sub-second
     precision is truncated to microseconds (chrono keeps nanoseconds; the
-    reference corpus never exceeds 6 digits)."""
+    reference corpus never exceeds 6 digits).
+
+    Deliberate deviation: chrono accepts the leap second ':60' (folded into
+    .999999+ of second 59); this implementation rejects it — Spark/DuckDB
+    timestamps cannot represent a 61st second, so leap-second inputs become
+    fallback rows in BOTH the engine and this oracle (documented in
+    COVERAGE.md)."""
     m = _RFC3339_RE.match(tok)
     if not m:
         raise ParseFail("rfc3339")

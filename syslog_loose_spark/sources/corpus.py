@@ -139,6 +139,13 @@ GOLDEN_CORPUS: List[Tuple[str, str]] = [
      "<34>Oct 11 22:14:15 myhost -: a message"),
     ("tag_no_host_json",
      '<134>Oct 30 16:05:54 opsaudit  {"username": "admin", "mfa": 0}'),
+    # non-ASCII decimal digits are NOT digits to the reference's nom digit1
+    # (ASCII-only) — these must become fallback rows, not mis-parsed ones
+    ("unicode_pri_digit", "<٣>Oct 11 22:14:15 host app[1]: msg"),
+    ("unicode_day_digit", "<34>Oct ١١ 22:14:15 host app: msg"),
+    # hostname token '-:' — the trailing ':' splits back BEFORE the NILVALUE
+    # check, so the literal hostname is '-' (parsers.rs:46-54)
+    ("host_dash_colon_3164", "<34>Oct 11 22:14:15 -: a message"),
 ]
 
 # Deterministic skewed source assignment: ~60% nginx plus a long tail.

@@ -114,6 +114,24 @@ ADVERSARIAL = [
     "<34>Oct 11 22:14:15 a\u200bb: m",
     "\u00a0<34>1 - h a - - - lead nbsp",
     '<34>1 - h a - - [id ké="vé"] m',
+    # non-ASCII decimal digits: Python's \d would accept these, nom's
+    # digit1 (ASCII) does not — all must be fallback rows in both engines
+    "<٣>Oct 11 22:14:15 host app[1]: msg",      # Arabic-Indic PRI
+    "<34>Oct ١١ 22:14:15 host app: msg",   # unicode day
+    "<34>Oct 11 2٢:14:15 host app: m",          # unicode hour digit
+    "<3٤>Oct 11 22:14:15 host app: m",          # mixed-digit PRI
+    "<34>١ - h a - - - unicode version",        # unicode 5424 version
+    "<34>1 ٢003-10-11T22:14:15.003Z h a - - - x",  # unicode 3339 year
+    "<34>Oct 11 2008 16:49:07 host app: m٠",    # unicode in msg is fine
+    # '-' + trailing-colon split-back: literal '-' hostname, not NILVALUE
+    "<34>Oct 11 22:14:15 -: a message",
+    "<34>Oct 11 22:14:15 - : a message",
+    "<34>Oct 11 22:14:15 -:x m",
+    "<34>Oct 11 22:14:15 -:",
+    "<34>Oct 11 22:14:15 - -: m",
+    # leap second rejected by engine AND oracle (documented deviation)
+    "<34>1 2003-10-11T22:14:60Z h a - - - leap",
+    "<34>1 1969-12-31T23:59:59.5Z h a - - - pre-epoch",
 ]
 
 

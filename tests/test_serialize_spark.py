@@ -41,7 +41,40 @@ def test_spark_serializer_matches_oracle(spark):
         # ... nor with a msg that starts with '-'/'[' (the grammar
         # legitimately reassigns it — same carve-outs as the property
         # generator in tests/test_property_roundtrip.py)
+        # ... nor a literal '-' hostname ('-' ≡ None on re-parse; the
+        # reference quickcheck compares them equal, quickcheck.rs:243-247)
         if (m.facility is not None and m.severity is not None
-                and m.msg[:1] not in ("-", "[")):
+                and m.msg[:1] not in ("-", "[") and m.hostname != "-"):
             m2 = parse_message(r["line"])
             assert m.eq_reference(m2), idx
+
+
+def test_spark_serializer_pre_epoch_fraction(spark):
+    """Pre-1970 instants with fractional seconds: unix_micros is negative
+    and a plain % would emit '.-500'; pmod keeps the fraction in 0..999999
+    (matches oracle._ts_rfc3339)."""
+    lines = [
+        "<34>1 1969-12-31T23:59:59.5Z h a - - - pre-epoch",
+        "<34>1 1969-12-31T23:59:59.123456Z h a - - - pre-epoch-micro",
+        "<34>1 1969-12-31T23:59:59.5+05:30 h a - - - pre-epoch-offset",
+        "<34>1 1901-06-01T00:00:00.25-03:00 h a - - - deep-past",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)],
+                               "idx INT, raw STRING")
+    from syslog_loose_spark.operators.parse import parse_syslog_udf
+
+    p = df.select("idx", parse_syslog_udf(ParseConfig())(
+        F.col("raw")).alias("m")).select("idx", "m.*")
+    out = p.select(
+        "idx",
+        serialize_syslog(
+            F.col("protocol"), F.col("version"), F.col("facility"),
+            F.col("severity"), F.col("ts"), F.col("tz_offset_seconds"),
+            F.col("hostname"), F.col("appname"), F.col("procid_pid"),
+            F.col("procid_name"), F.col("msgid"), F.col("structured_data"),
+            F.col("msg"),
+        ).alias("line"),
+    ).orderBy("idx").collect()
+    for i, line in enumerate(lines):
+        want = serialize_message(parse_message(line, ParseConfig()))
+        assert out[i]["line"] == want, (line, out[i]["line"], want)
