@@ -763,9 +763,11 @@ FROM documents GROUP BY md5(text) ORDER BY doc_id
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_freq stays at the function's scale-safe default (1000):
+    # the frequency cap is the only guard between the shingle self-join
+    # and O(f^2) pair explosion per hot shingle
     docs = _t(spark, sf_dir, "documents")
-    return (D.ngram_jaccard_pairs(docs, threshold=0.5, n=3,
-                                  max_shingle_freq=100000)
+    return (D.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
             .orderBy("a", "b"))
 
 
@@ -781,7 +783,7 @@ sh0 AS (
   FROM w),
 sh AS (SELECT DISTINCT doc_id AS id, unnest(shl) AS sh FROM sh0),
 sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY sh HAVING f <= 100000),
+freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY sh HAVING f <= 1000),
 shf AS (SELECT sh.id, sh.sh FROM sh JOIN freq USING (sh)),
 common AS (
   SELECT x.id AS a, y.id AS b, COUNT(*) AS c
@@ -981,12 +983,86 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# rows-only entries (non-SQL-expressible or engine-specific hashing)
+# LSH / simhash / multimodal — oracle-backed (md5-derived hashing and the
+# deterministic fake media format are deliberately DuckDB-portable)
 # ---------------------------------------------------------------------------
+
+# shared CTE: distinct word-3-gram shingle hash lists per doc (DuckDB twin
+# of dedup.shingles + dedup.word_hash)
+def _shingle_hash_cte(where: str) -> str:
+    return f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents {where}),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [array_to_string(ws, ' ')] END AS shl
+  FROM w),
+h AS (SELECT doc_id,
+             [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+              for s in shl] AS hs
+      FROM shl)"""
+
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return D.minhash_lsh_candidates(docs, k=8, bands=4).orderBy("a", "b")
+
+
+def _oracle_minhash_lsh() -> str:
+    a, b = D._coeffs(8)
+    mh = ",\n       ".join(
+        f"list_min([(h * {a[i]} + {b[i]}) % {D.MERSENNE} for h in hs])"
+        f" AS mh{i}" for i in range(8))
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id AS id, {bi} AS band, "
+        f"concat(CAST(mh{2 * bi} AS VARCHAR), ',', "
+        f"CAST(mh{2 * bi + 1} AS VARCHAR)) AS key FROM sig"
+        for bi in range(4))
+    return f"""
+WITH {_shingle_hash_cte('WHERE doc_id < 200').strip()},
+sig AS (SELECT doc_id, {mh} FROM h),
+banded AS ({bands}),
+ok AS (SELECT band, key FROM banded GROUP BY band, key
+       HAVING COUNT(*) <= 1000),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key))
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM capped x JOIN capped y USING (band, key)
+WHERE x.id < y.id
+ORDER BY a, b
+"""
+
+
+# DuckDB twin of dedup.simhash64: per-bit majority vote over the two
+# 32-bit md5 halves, recombined into one signed 64-bit value via HUGEINT
+# (DuckDB's BIGINT << 63 overflows; hi*2^32+lo wrapped does not).
+def _simhash_cte(where: str) -> str:
+    def half(col: str, bit: int) -> str:
+        return (f"CASE WHEN 2 * len(list_filter({col}, "
+                f"x -> ((x >> {bit}) & 1) = 1)) > n "
+                f"THEN (CAST(1 AS BIGINT) << {bit}) ELSE 0 END")
+
+    lo = " + ".join(half("h1", j) for j in range(32))
+    hi = " + ".join(half("h2", j) for j in range(32))
+    return f"""
+sw AS (SELECT doc_id, string_split(text, ' ') AS ws
+       FROM documents {where}),
+sh2 AS (SELECT doc_id,
+              [CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+               for x in ws] AS h1,
+              [CAST(concat('0x', substr(md5(x), 9, 8)) AS BIGINT)
+               for x in ws] AS h2,
+              len(ws) AS n
+       FROM sw),
+simh AS (
+  SELECT doc_id,
+         CAST(CAST(({hi}) AS HUGEINT) * 4294967296 + ({lo})
+              - CASE WHEN ({hi}) >= 2147483648
+                     THEN CAST('18446744073709551616' AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS simhash
+  FROM sh2)"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,12 +1072,88 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def _oracle_simhash() -> str:
+    return f"""
+WITH {_simhash_cte('WHERE doc_id < 100').strip()}
+SELECT doc_id, simhash FROM simh ORDER BY doc_id
+"""
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return (D.simhash_near_dups(docs, max_hamming=3, bands=4)
+            .orderBy("a", "b"))
+
+
+def _oracle_simhash_near_dups() -> str:
+    # 4 bands x 16 bits; (sh >> s) & 65535 is shift-direction agnostic
+    # (sign-extension only touches bits the mask discards)
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id AS id, simhash AS sh2, {b} AS band, "
+        f"(simhash >> {b * 16}) & 65535 AS key FROM simh"
+        for b in range(4))
+    return f"""
+WITH {_simhash_cte('WHERE doc_id < 500').strip()},
+sliced AS ({bands}),
+ok AS (SELECT band, key FROM sliced GROUP BY band, key
+       HAVING COUNT(*) <= 1000),
+capped AS (SELECT sliced.* FROM sliced JOIN ok USING (band, key))
+SELECT DISTINCT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.sh2, y.sh2)) AS BIGINT) AS hamming
+FROM capped x JOIN capped y USING (band, key)
+WHERE x.id < y.id AND bit_count(xor(x.sh2, y.sh2)) <= 3
+ORDER BY a, b
+"""
+
+
+def _ann_plane_bands():
+    """2 OR-amplification bands x 4 deterministic ±1 hyperplanes."""
+    return [[[(1.0 if (b * 31 + i * 13 + j * 7) % 5 < 2 else -1.0)
+              for j in range(64)] for i in range(4)] for b in range(2)]
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    planes = [[(1 if (i * 13 + j * 7) % 5 < 2 else -1)
-               for j in range(64)] for i in range(4)]
-    return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10), planes, k=5) \
+    return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10),
+                      _ann_plane_bands(), k=5) \
         .orderBy("query_id", "rank")
+
+
+def _oracle_ann_lsh() -> str:
+    # sign bits use the same sequential left-fold as Spark's F.aggregate —
+    # list_dot_product's summation order is unspecified and a different
+    # order could flip a sign at dot ~ 0
+    def sign(plane) -> str:
+        lst = "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
+        return ("CASE WHEN list_reduce(list_prepend(0.0, "
+                f"[v[i] * (CAST({lst} AS DOUBLE[]))[i] "
+                "for i in range(1, 65)]), (a, b) -> a + b) >= 0 "
+                "THEN '1' ELSE '0' END")
+
+    bands = "\nUNION ALL ".join(
+        f"SELECT vec_id, v, {bi} AS band, "
+        f"concat({', '.join(sign(p) for p in band)}) AS bucket FROM c"
+        for bi, band in enumerate(_ann_plane_bands()))
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+buck AS ({bands}),
+qb AS (SELECT * FROM buck WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         MIN(ROUND(list_dot_product(x.v, q.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 4)) AS sim
+  FROM buck x JOIN qb q USING (band, bucket)
+  WHERE x.vec_id <> q.vec_id
+  GROUP BY 1, 2)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INT)
+           AS rank,
+       neighbor_id, sim
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,6 +1161,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features, media_table)
 
     return extract_features(media_table(spark, 64)).orderBy("media_id")
+
+
+def _oracle_multimodal_features() -> str:
+    """The deterministic fake media format is pure byte arithmetic:
+    payload = 'FAKE' (byte sum 279) + <II little-endian dims (sum w+h for
+    dims < 256) + body[i] = (media_id*7 + i) % 256."""
+    return """
+WITH m AS (
+  SELECT i AS media_id,
+         (['image','audio','video'])[CAST(i % 3 AS INT) + 1] AS kind,
+         16 + i % 5 AS w, 9 + i % 4 AS h
+  FROM range(0, 64) t(i)),
+b AS (SELECT media_id, kind, w, h, (w * h) % 64 + 16 AS blen FROM m)
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(12 + blen AS INT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST((279 + w + h
+             + list_sum([(media_id * 7 + i) % 256
+                         for i in range(0, blen)])) % 2147483647
+            AS BIGINT) AS checksum
+FROM b ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1059,10 +1233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "multimodal_bytes": q_multimodal_bytes,
-        # rows-only (no SQL oracle): LSH candidate generation & simhash use
-        # engine-internal hashing; media features are pandas-UDF plumbing
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
@@ -1096,4 +1269,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _oracle_ann(),
         "embedding_norms": _oracle_embedding_norms(),
         "multimodal_bytes": _oracle_multimodal_bytes(),
+        "minhash_lsh_candidates": _oracle_minhash_lsh(),
+        "simhash": _oracle_simhash(),
+        "simhash_near_dups": _oracle_simhash_near_dups(),
+        "ann_lsh_topk": _oracle_ann_lsh(),
+        "multimodal_features": _oracle_multimodal_features(),
     }

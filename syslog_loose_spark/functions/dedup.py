@@ -7,16 +7,23 @@ Scale shapes:
   * MinHash + LSH    — signature via portable md5-based hashing, banded
                        bucket join: candidate generation cost is
                        O(rows × bands), never O(rows²)
-  * SimHash          — 64-bit sign-aggregated word hashes, near-dup via
-                       hamming distance on bucketed prefixes
+  * SimHash          — 64-bit sign-aggregated word hashes; near-dup pairs
+                       via simhash_near_dups (banded bit-slice equality
+                       join + exact bit_count(xor) re-score)
 
 The word/shingle hash is the first 8 hex chars of md5 — identical in Spark
-and DuckDB, which keeps MinHash signatures oracle-checkable in pure SQL.
+and DuckDB, which keeps every operator here oracle-checkable in pure SQL.
+
+Scale guards (the difference between O(n) and O(n²) at 100 TB): every
+bucket-equality self-join caps degenerate buckets (``max_shingle_freq`` /
+``max_bucket_size``) and persists the bucketed relation so it is computed
+once, not once per join side.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 MERSENNE = 2147483647  # 2^31-1, the classic MinHash modulus
 
@@ -60,13 +67,20 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     Shuffle plan: explode -> distinct -> self-join on shingle -> count
     common -> join per-doc sizes (broadcastable when docs are few; fine as
     shuffle join at scale).  ``max_shingle_freq`` drops degenerate hot
-    shingles that would square the join (the standard guard at web scale).
+    shingles that would square the join (the standard guard at web scale:
+    a shingle shared by f docs yields ~f²/2 pairs, so the cap bounds the
+    worst bucket at ~max_shingle_freq²/2).
+
+    The exploded shingle relation feeds four consumers (sizes, freq, both
+    self-join sides); it is persisted so the explode+distinct shuffle runs
+    once instead of four times.
     """
     sh = (
         df.select(F.col(id_col).alias("id"),
                   F.explode(F.array_distinct(
                       shingles(F.col(text_col), n))).alias("sh"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
@@ -140,10 +154,18 @@ def minhash_signature_df(df: DataFrame, k: int = 8, n: int = 3,
 
 def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
                            n: int = 3, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           max_bucket_size: int = 1000) -> DataFrame:
     """Banded LSH: equal band-slices of the signature land in the same
     bucket; candidate pairs come from a groupBy-bucket self-join — the
-    scalable alternative to the quadratic all-pairs comparison."""
+    scalable alternative to the quadratic all-pairs comparison.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. millions of
+    near-empty docs sharing a band signature) before the self-join — one
+    such bucket would otherwise re-square the join.  Dropped buckets lose
+    only pairs that the OTHER bands can still recover, so recall degrades
+    gracefully instead of the job falling over.
+    """
     rows = k // bands
     sig = minhash_signature_df(df, k, n, text_col, id_col)
     banded = sig.select(
@@ -154,9 +176,15 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
                          F.col("sig")[bi * rows + r].cast("string")
                          for r in range(rows)]).alias("key"))
             for bi in range(bands)])).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    ).select("id", "bk.band", "bk.key") \
+     .persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_ok = (banded.groupBy("band", "key")
+                 .agg(F.count(F.lit(1)).alias("bn"))
+                 .where(F.col("bn") <= max_bucket_size)
+                 .select("band", "key"))
+    capped = banded.join(bucket_ok, ["band", "key"])
     return (
-        banded.alias("x").join(banded.alias("y"), ["band", "key"])
+        capped.alias("x").join(capped.alias("y"), ["band", "key"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
@@ -165,7 +193,8 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over words: bit_j = sign of sum over words of
-    (bit_j(h(w)) ? +1 : -1).  Uses two 32-bit md5-derived halves."""
+    (bit_j(h(w)) ? +1 : -1).  Uses two 32-bit md5-derived halves.
+    Near-dup pair generation over the value lives in simhash_near_dups."""
     w = F.split(text, " ")
     h1 = F.transform(w, word_hash)
     h2 = F.transform(
@@ -188,3 +217,54 @@ def simhash64(text: Column) -> Column:
             s > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     simhash64(F.col(text_col)).alias("sh"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket_size: int = 1000) -> DataFrame:
+    """Near-dup pairs (a < b) with hamming(simhash_a, simhash_b) <=
+    ``max_hamming``.
+
+    Scale shape: the 64-bit simhash splits into ``bands`` equal bit
+    slices; by pigeonhole any pair within hamming distance < ``bands``
+    shares at least one identical slice, so candidates come from equality
+    joins on (band, slice) — O(rows x bands), never all-pairs — and the
+    exact ``bit_count(xor) <= d`` check re-scores candidates.  Requires
+    ``max_hamming < bands`` for complete recall (asserted).  Degenerate
+    buckets are capped like minhash_lsh_candidates.
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash_df(df, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sliced = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("sh", b * width)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(bands)])).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.key") \
+     .persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_ok = (sliced.groupBy("band", "key")
+                 .agg(F.count(F.lit(1)).alias("bn"))
+                 .where(F.col("bn") <= max_bucket_size)
+                 .select("band", "key"))
+    capped = sliced.join(bucket_ok, ["band", "key"])
+    return (
+        capped.alias("x").join(capped.alias("y"), ["band", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+                 .cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

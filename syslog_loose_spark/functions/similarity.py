@@ -69,21 +69,43 @@ def hyperplane_signs(vec: Column, planes) -> Column:
 def lsh_topk(corpus: DataFrame, queries: DataFrame, planes, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> DataFrame:
-    """Approximate top-k: exact re-scoring restricted to same sign-bucket.
-    ``planes`` is a small deterministic list of hyperplane vectors."""
+    """Approximate top-k: exact re-scoring restricted to matching
+    sign-buckets.
+
+    ``planes`` is either a flat list of hyperplane vectors (one band) or a
+    list of BANDS, each a list of hyperplane vectors.  Multiple bands are
+    OR-amplification: a candidate survives if it matches the query's
+    bucket in ANY band, so recall no longer collapses as planes grow —
+    with b bands of r planes, P(candidate) = 1-(1-p^r)^b instead of p^r.
+    Cost stays O(rows x bands): each corpus row lands in `bands` buckets;
+    the query side is broadcast; duplicate (query, neighbor) candidates
+    from multiple bands collapse in one scalar-row groupBy before ranking.
+    """
+    if planes and not _is_vector(planes[0]):
+        bands = planes                     # already a list of bands
+    else:
+        bands = [planes]
+
     def bucketed(df, idn):
-        return df.select(F.col(id_col).alias(idn),
-                         F.col(vec_col).alias(idn + "_v"),
-                         hyperplane_signs(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(idn + "_v"),
+            F.explode(F.array(*[
+                F.struct(F.lit(bi).alias("band"),
+                         hyperplane_signs(F.col(vec_col), band)
                          .alias("bucket"))
+                for bi, band in enumerate(bands)])).alias("bk"),
+        ).select(idn, idn + "_v", "bk.band", "bk.bucket")
 
     c = bucketed(corpus, "neighbor_id")
     q = bucketed(queries, "query_id")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(
             cosine(F.col("query_id_v"), F.col("neighbor_id_v")), 4))
+        # collapse multi-band duplicates (same sim from every band)
+        .groupBy("query_id", "neighbor_id").agg(F.min("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
@@ -92,3 +114,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def _is_vector(x) -> bool:
+    """True when x is a plane (sequence of scalars), not a band."""
+    return len(x) > 0 and not hasattr(x[0], "__len__")

@@ -144,3 +144,47 @@ def test_stateful_running_totals(spark, tmp_path):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t"))
             .collect()}
     assert got == want
+
+
+def test_simhash_near_dups_finds_exact_dups(spark):
+    """Exact duplicates have hamming 0 and MUST appear (pigeonhole:
+    any pair with hamming < bands shares a band slice)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where(F.col("doc_id") < 120)
+    dup = docs.union(docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        "source", "n_chars"))
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in D.simhash_near_dups(dup, max_hamming=3).collect()}
+    n = docs.count()
+    for i in range(n):
+        assert pairs.get((i, i + 100000)) == 0, f"missing exact dup {i}"
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_near_dups_bucket_cap(spark):
+    """A degenerate bucket larger than max_bucket_size is dropped rather
+    than squared."""
+    rows = [(i, "same text everywhere") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = D.simhash_near_dups(df, max_hamming=3, max_bucket_size=10)
+    assert out.count() == 0  # every band bucket holds all 20 -> dropped
+
+
+def test_lsh_multiband_recall_not_worse(spark):
+    """OR-amplification: 2 bands of the same planes can only add
+    candidates relative to 1 band, so recall is monotone."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=3).collect()}
+    mk = lambda seed: [[(1 if (seed * 31 + i * 13 + j * 7) % 5 < 2 else -1)
+                        for j in range(64)] for i in range(3)]
+    one = {(r["query_id"], r["neighbor_id"])
+           for r in S.lsh_topk(emb, q, mk(0), k=3).collect()}
+    two = {(r["query_id"], r["neighbor_id"])
+           for r in S.lsh_topk(emb, q, [mk(0), mk(1)], k=3).collect()}
+    r1 = len(exact & one) / len(exact)
+    r2 = len(exact & two) / len(exact)
+    assert r2 >= r1, (r1, r2)
+    assert len(two) > 0
