@@ -37,6 +37,25 @@ def default_year_policy(month: int) -> int:
     return REF_YEAR
 
 
+def year_resolver(policy) -> "Callable[[int, int, int, int, int], int]":
+    """Normalize a year policy to the reference's full callback signature.
+
+    The reference's resolver receives the whole IncompleteDate
+    ``(month, day, hour, minute, second)`` (lib.rs:105-110,
+    timestamp.rs:25); older 1-arg policies (month only) are still
+    accepted and wrapped.
+    """
+    import inspect
+
+    try:
+        n = len(inspect.signature(policy).parameters)
+    except (TypeError, ValueError):
+        n = 1
+    if n >= 5:
+        return policy
+    return lambda mon, d, h, mi, s: policy(mon)
+
+
 @dataclass(frozen=True)
 class ParseConfig:
     """Deterministic parse-time parameters.
@@ -46,15 +65,34 @@ class ParseConfig:
     ``tz=None`` (system-local) path but is *pinned to UTC* for determinism —
     semantically identical to ``0`` except for the RFC3164 with-year branch
     quirk replicated in oracle.py / parse.py.
+
+    ``tz_name``: an IANA zone name (e.g. ``"America/New_York"``) mirroring
+    the reference's ``Option<Tz>`` chrono-tz path (timestamp.rs:95-118):
+    DST-aware resolution with ``earliest()`` semantics — ambiguous local
+    times take the pre-transition offset; nonexistent (DST-gap) times fail
+    the timestamp parse and the row falls back.  Takes precedence over
+    ``tz_offset_seconds``.  ``year_policy`` may take the month alone or the
+    reference's full (month, day, hour, minute, second) tuple.
     """
 
     variant: str = VARIANT_EITHER
     tz_offset_seconds: Optional[int] = None  # None == "Local", pinned to UTC
-    year_policy: Callable[[int], int] = field(default=default_year_policy)
+    tz_name: Optional[str] = None            # IANA zone (DST-aware)
+    year_policy: Callable[..., int] = field(default=default_year_policy)
 
     @property
     def effective_offset(self) -> int:
         return 0 if self.tz_offset_seconds is None else self.tz_offset_seconds
+
+    @property
+    def zone(self):
+        """ZoneInfo for tz_name (None in fixed-offset/UTC mode).  Resolved
+        lazily by name so ParseConfig pickles cheaply to executors."""
+        if self.tz_name is None:
+            return None
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(self.tz_name)
 
 
 @dataclass(frozen=True)

@@ -28,8 +28,20 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..config import ParseConfig, VARIANT_EITHER, VARIANT_RFC3164, VARIANT_RFC5424
-from ..oracle import MONTHS, parse_rfc3339, ParseFail
+from ..config import (
+    ParseConfig,
+    VARIANT_EITHER,
+    VARIANT_RFC3164,
+    VARIANT_RFC5424,
+    year_resolver,
+)
+from ..oracle import (
+    MONTHS,
+    ParseFail,
+    parse_rfc3339,
+    zone_earliest,
+    zone_offset_from_utc,
+)
 
 U32_MAX = 4294967295
 I32_MIN, I32_MAX = -(2**31), 2**31 - 1
@@ -228,17 +240,27 @@ def _resolve_host_tag(f1, f2):
 def _ts_3164(h: str, cfg: ParseConfig):
     """Ordered timestamp alternatives (timestamp.rs:131-161).
     Returns (ts_or_None, end_pos); raises _Fail when none parse."""
+    zone = cfg.zone
     tzoff = cfg.effective_offset
     tz = timezone(timedelta(seconds=tzoff)) if tzoff else _UTC
+    year_fn = year_resolver(cfg.year_policy)
     m = _RX_TS_NOYEAR.match(h)
     if m is not None:
         mon = MONTHS.get(m.group("mon").lower())
         if mon is not None and len(m.group("d")) <= 10:
             try:
-                local = datetime(cfg.year_policy(mon), mon, int(m.group("d")),
-                                 int(m.group("h")), int(m.group("mi")),
-                                 int(m.group("s")))
-                return local.replace(tzinfo=tz), m.end()
+                d, hh, mi, ss = (int(m.group("d")), int(m.group("h")),
+                                 int(m.group("mi")), int(m.group("s")))
+                local = datetime(year_fn(mon, d, hh, mi, ss),
+                                 mon, d, hh, mi, ss)
+                if zone is not None:
+                    # DST-aware: earliest-on-ambiguity; a gap fails this
+                    # alternative (and, syntactically, all the others)
+                    resolved = zone_earliest(local, zone)
+                    if resolved is not None:
+                        return resolved, m.end()
+                else:
+                    return local.replace(tzinfo=tz), m.end()
             except ValueError:
                 pass
     m = _RX_TS_WITHYEAR.match(h)
@@ -252,6 +274,12 @@ def _ts_3164(h: str, cfg: ParseConfig):
             except ValueError:
                 naive = None
             if naive is not None:
+                if zone is not None:
+                    # from_naive_utc_and_offset with the zone's offset at
+                    # naive-as-UTC (timestamp.rs:141-146)
+                    off = zone_offset_from_utc(naive, zone)
+                    return naive.replace(tzinfo=_UTC).astimezone(
+                        timezone(timedelta(seconds=off))), m.end()
                 if cfg.tz_offset_seconds is not None:
                     # with-year + explicit tz quirk (timestamp.rs:141-146):
                     # naive attached to the offset as if it were UTC
@@ -458,7 +486,8 @@ def parse_lines(lines, raws, cfg: ParseConfig):
     memo_sd5424: dict = {}
     memo_sd3164: dict = {}
     memo_3164ts: dict = {}
-    year_of = {mo: cfg.year_policy(mo) for mo in range(1, 13)}
+    year_fn = year_resolver(cfg.year_policy)
+    zone = cfg.zone
     off_cfg = cfg.effective_offset
     explicit_tz = cfg.tz_offset_seconds is not None
     m5424 = _RXF_5424.match
@@ -533,11 +562,18 @@ def parse_lines(lines, raws, cfg: ParseConfig):
                     d, hh, mi, ss = (int(key[1]), int(key[2]),
                                      int(key[3]), int(key[4]))
                     if hh <= 23 and mi <= 59 and ss <= 59:
-                        days = _days_from_ymd(year_of[mo], mo, d)
+                        yr = year_fn(mo, d, hh, mi, ss)
+                        days = _days_from_ymd(yr, mo, d)
                         if days is not None:
-                            naive = ((days * 86400 + hh * 3600 + mi * 60
-                                      + ss) * _US)
-                            r = (naive - off_cfg * _US, off_cfg)
+                            if zone is not None:
+                                res = zone_earliest(
+                                    datetime(yr, mo, d, hh, mi, ss), zone)
+                                if res is not None:  # None == DST gap
+                                    r = _dt_to_epoch(res)
+                            else:
+                                naive = ((days * 86400 + hh * 3600
+                                          + mi * 60 + ss) * _US)
+                                r = (naive - off_cfg * _US, off_cfg)
                 memo_3164ts[key] = r
             if r is None:
                 # invalid month/date: the with-year and RFC3339 branches
@@ -562,8 +598,14 @@ def parse_lines(lines, raws, cfg: ParseConfig):
                                       + ss) * _US)
                             # with-year + explicit tz: naive treated as UTC
                             # (timestamp.rs:141-146); else local==pinned tz
-                            r = ((naive, off_cfg) if explicit_tz
-                                 else (naive - off_cfg * _US, off_cfg))
+                            if zone is not None:
+                                off = zone_offset_from_utc(
+                                    datetime(y, mo, d, hh, mi, ss), zone)
+                                r = (naive, off)
+                            elif explicit_tz:
+                                r = (naive, off_cfg)
+                            else:
+                                r = (naive - off_cfg * _US, off_cfg)
                 memo_3164ts[key] = r
             if r is None:
                 return _NOT   # same reasoning as the no-year branch

@@ -321,33 +321,69 @@ def _timestamp_3164_with_year(s: str) -> Tuple[str, datetime]:
     return rest, naive
 
 
+def zone_earliest(naive: datetime, zone) -> Optional[datetime]:
+    """chrono ``LocalResult::earliest()`` analogue for a naive local time
+    in an IANA zone: ambiguous (fall-back) times resolve to the
+    pre-transition offset (PEP 495 fold=0); nonexistent (spring-forward
+    gap) times return None — the caller fails the parse, exactly like
+    make_timestamp's ``.ok_or("invalid date")`` (timestamp.rs:106-112)."""
+    d0 = naive.replace(tzinfo=zone, fold=0)
+    d1 = naive.replace(tzinfo=zone, fold=1)
+    if d0.utcoffset() < d1.utcoffset():
+        return None  # DST gap: the local time does not exist
+    # fixed-offset view of the instant (datetime.offset().fix())
+    return d0.astimezone(timezone(d0.utcoffset()))
+
+
+def zone_offset_from_utc(naive: datetime, zone) -> int:
+    """chrono ``tz.offset_from_utc_datetime(&naive)`` analogue: the zone's
+    UTC offset in seconds at the instant naive-interpreted-as-UTC."""
+    inst = naive.replace(tzinfo=timezone.utc)
+    return int(inst.astimezone(zone).utcoffset().total_seconds())
+
+
 def _timestamp_3164(s: str, cfg: ParseConfig) -> Tuple[str, Optional[datetime]]:
     """Ordered alternatives: no-year -> with-year -> RFC3339
     (timestamp.rs:131-161).  Timezone semantics replicated exactly:
 
     * no-year  + tz: the naive local time is interpreted IN the zone
-      (make_timestamp, timestamp.rs:106-112)
+      (make_timestamp, timestamp.rs:106-112); with a named zone, DST
+      resolution is earliest-on-ambiguity, fail-on-gap
     * with-year + tz: the naive time is attached to the zone's offset as if
       it were UTC (timestamp.rs:141-146 uses from_naive_utc_and_offset) —
-      the instant is naive@UTC shown at the offset
+      the instant is naive@UTC shown at the offset (for a named zone, the
+      offset the zone has at that UTC instant)
     * tz None (reference: system-local, lib.rs:122) is pinned to UTC
     """
+    from .config import year_resolver
+
+    zone = cfg.zone
     tz = timezone(timedelta(seconds=cfg.effective_offset))
-    explicit_tz = cfg.tz_offset_seconds is not None
+    explicit_tz = zone is not None or cfg.tz_offset_seconds is not None
+    year_fn = year_resolver(cfg.year_policy)
     # branch 1: no year
     try:
         rest, (mon, d, h, mi, sec) = _timestamp_3164_no_year(s)
-        year = cfg.year_policy(mon)
+        year = year_fn(mon, d, h, mi, sec)
         try:
             local = datetime(year, mon, d, h, mi, sec)
         except ValueError as e:
             raise ParseFail(str(e))
+        if zone is not None:
+            resolved = zone_earliest(local, zone)
+            if resolved is None:
+                raise ParseFail("nonexistent local time (DST gap)")
+            return rest, resolved
         return rest, local.replace(tzinfo=tz)
     except ParseFail:
         pass
     # branch 2: with year
     try:
         rest, naive = _timestamp_3164_with_year(s)
+        if zone is not None:
+            off = zone_offset_from_utc(naive, zone)
+            return rest, naive.replace(tzinfo=timezone.utc).astimezone(
+                timezone(timedelta(seconds=off)))
         if explicit_tz:
             # reference quirk: naive treated as UTC, offset merely attached
             return rest, naive.replace(tzinfo=timezone.utc).astimezone(tz)

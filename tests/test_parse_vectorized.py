@@ -193,3 +193,65 @@ def test_year_policy_threading():
                ParseConfig(year_policy=lambda m: 2019))
     check_rows(["<34>Feb 29 14:07:19 h a: m"],
                ParseConfig(year_policy=lambda m: 2020))
+
+
+# ---------------------------------------------------------------------------
+# named IANA timezone (DST-aware) mode — reference Option<Tz> path
+# (timestamp.rs:95-118): earliest-on-ambiguity, fail-on-gap
+# ---------------------------------------------------------------------------
+
+NY = "America/New_York"
+
+
+def test_named_tz_differential():
+    check_rows(ADVERSARIAL, ParseConfig(tz_name=NY))
+    check_rows([line for _, line in GOLDEN_CORPUS], ParseConfig(tz_name=NY))
+
+
+def test_named_tz_semantics():
+    cfg = ParseConfig(tz_name=NY)
+    # plain winter time: EST (-5) -> 20:33:03Z
+    cols = parse_lines(["<46>Jan  5 15:33:03 h rsyslogd: x"], ["x"], cfg)
+    assert cols[4][0] == int(datetime(2020, 1, 5, 20, 33, 3,
+                                      tzinfo=timezone.utc).timestamp() * 1e6)
+    assert cols[5][0] == -5 * 3600
+    # DST gap (2020-03-08 02:30 does not exist in NY): timestamp parse
+    # fails -> whole 3164 fails -> fallback row (chrono earliest() == None)
+    raw = "<34>Mar  8 02:30:00 host app: m"
+    cols = parse_lines([raw], [raw], cfg)
+    assert cols[13][0] is False and cols[12][0] == raw
+    # ambiguous (2020-11-01 01:30 occurs twice): earliest == EDT (-4)
+    cols = parse_lines(["<34>Nov  1 01:30:00 host app: m"], ["x"], cfg)
+    assert cols[4][0] == int(datetime(2020, 11, 1, 5, 30,
+                                      tzinfo=timezone.utc).timestamp() * 1e6)
+    assert cols[5][0] == -4 * 3600
+    # with-year + named zone: naive attached as UTC, zone offset at that
+    # instant merely displayed (from_naive_utc_and_offset)
+    cols = parse_lines(["<34>Oct 11 2008 22:14:15 h app: m"], ["x"], cfg)
+    assert cols[4][0] == int(datetime(2008, 10, 11, 22, 14, 15,
+                                      tzinfo=timezone.utc).timestamp() * 1e6)
+    assert cols[5][0] == -4 * 3600  # EDT at that UTC instant
+
+
+def test_named_tz_gap_matches_oracle():
+    for raw in ("<34>Mar  8 02:30:00 host app: m",
+                "<34>Mar  8 02:00:00 host app: m",
+                "<34>Mar  8 03:00:00 host app: m",
+                "<34>Nov  1 01:00:00 host app: m",
+                "<34>Nov  1 02:00:00 host app: m"):
+        check_rows([raw], ParseConfig(tz_name=NY))
+
+
+def test_year_policy_full_incomplete_date():
+    """The reference resolver receives (month, day, hour, minute, second)
+    (lib.rs:105-110) — a day-granular policy must be expressible."""
+    pol = lambda mon, d, h, mi, s: 2019 if (mon, d) >= (6, 15) else 2020
+    cfg = ParseConfig(year_policy=pol)
+    cols = parse_lines(["<34>Jun 14 10:00:00 h a: m",
+                        "<34>Jun 15 10:00:00 h a: m"], ["x", "y"], cfg)
+    y = [datetime.fromtimestamp(t / 1e6, tz=timezone.utc).year
+         for t in cols[4]]
+    assert y == [2020, 2019]
+    check_rows(["<34>Jun 14 10:00:00 h a: m",
+                "<34>Jun 15 10:00:00 h a: m",
+                "<34>Feb 29 14:07:19 h a: m"], cfg)

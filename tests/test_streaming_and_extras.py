@@ -188,3 +188,107 @@ def test_lsh_multiband_recall_not_worse(spark):
     r2 = len(exact & two) / len(exact)
     assert r2 >= r1, (r1, r2)
     assert len(two) > 0
+
+
+def test_tokens_from_text_matches_batch_tokenizer(spark):
+    """JVM-side tokenization == corpus.tokenize byte-for-byte, incl.
+    multibyte UTF-8."""
+    from syslog_loose_spark.sources.corpus import GOLDEN_CORPUS, tokenize
+    from syslog_loose_spark.streaming.sources import tokens_from_text
+
+    df = spark.createDataFrame(
+        [(i, line) for i, (_, line) in enumerate(GOLDEN_CORPUS)],
+        "idx INT, value STRING")
+    out = df.select("idx", tokens_from_text(F.col("value")).alias("t")) \
+        .orderBy("idx").collect()
+    for r in out:
+        assert r["t"] == tokenize(GOLDEN_CORPUS[r["idx"]][1]), r["idx"]
+
+
+def test_rate_source_synthetic_stream(spark):
+    """Rate source -> full parse/enrich/route chain -> memory sink; rows
+    match the batch generator for the same ids (token equality)."""
+    from syslog_loose_spark.streaming.sources import stream_rate_synthetic
+
+    stream = stream_rate_synthetic(spark, rows_per_second=500)
+    parsed = streaming_transform(stream, PipelineConfig())
+    q = (parsed.writeStream.format("memory").queryName("ratesink")
+         .outputMode("append").start())
+    try:
+        import time
+        for _ in range(60):
+            if spark.sql("select count(*) from ratesink").first()[0] >= 40:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "select doc_id, tokens, n_tok, source, protocol, parse_ok, sink "
+        "from ratesink").collect()
+    assert len(got) >= 40
+    want = {r["doc_id"]: r for r in
+            generate_tokenized(spark, 2000).collect()}
+    for r in got:
+        w = want[r["doc_id"]]
+        assert r["tokens"] == w["tokens"], r["doc_id"]
+        assert r["source"] == w["source"], r["doc_id"]
+
+
+def test_socket_source_end_to_end(spark):
+    """The reference server example (examples/server/main.rs): lines over
+    a socket -> tokenized stream -> parse -> memory sink, verified against
+    the oracle parser."""
+    import socket
+    import threading
+    import time
+
+    from syslog_loose_spark.oracle import parse_message
+    from syslog_loose_spark.sources.corpus import GOLDEN_CORPUS
+    from syslog_loose_spark.streaming.sources import stream_socket_lines
+
+    lines = [line for _, line in GOLDEN_CORPUS[:8]
+             if "\n" not in line]            # socket frames are lines
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall((ln + "\n").encode("utf-8"))
+            time.sleep(20)                   # keep open while spark reads
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = stream_socket_lines(spark, "127.0.0.1", port)
+    parsed = streaming_transform(stream, PipelineConfig())
+    q = (parsed.writeStream.format("memory").queryName("socksink")
+         .outputMode("append").start())
+    try:
+        for _ in range(60):
+            if (spark.sql("select count(*) from socksink").first()[0]
+                    >= len(lines)):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    got = spark.sql("select * from socksink").collect()
+    assert len(got) >= len(lines)
+    by_msg = {}
+    for ln in lines:
+        m = parse_message(ln, PipelineConfig().parse)
+        by_msg[m.msg] = m
+    matched = 0
+    for r in got:
+        m = by_msg.get(r["msg"])
+        if m is not None:
+            assert r["hostname"] == m.hostname
+            assert r["facility"] == m.facility
+            matched += 1
+    assert matched >= len(lines)
