@@ -14,13 +14,19 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "syslog-loose-spark",
               cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              local_dir: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """``local_dir``: override spark.local.dir (shuffle/spill scratch).
+    Benchmarks point it at tmpfs — on a real cluster every executor has
+    its own local disks, so a single box's shared-disk bottleneck is a
+    measurement artifact, not an engine property."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
             os.cpu_count() or 4)
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    return (
+    b = (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app_name)
@@ -40,5 +46,9 @@ def get_spark(app_name: str = "syslog-loose-spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if local_dir is not None:
+        b = b.config("spark.local.dir", local_dir)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

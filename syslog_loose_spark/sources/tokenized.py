@@ -80,8 +80,13 @@ def generate_tokenized(spark, n_rows: int, partitions: int | None = None,
 
 
 def write_fixture(spark, path: str, n_rows: int,
-                  vary_ts: bool = False) -> None:
+                  vary_ts: bool = False,
+                  partitions: int | None = None) -> None:
     """Materialize a generated table as parquet (exercises the real scan
-    path: column pruning + predicate pushdown)."""
-    generate_tokenized(spark, n_rows, vary_ts=vary_ts) \
+    path: column pruning + predicate pushdown).  ``partitions`` controls
+    the file count — a parquet file written this small is one row group,
+    and a row group is the minimum scan-split unit, so benchmark fixtures
+    need enough files to keep every task slot fed."""
+    generate_tokenized(spark, n_rows, partitions=partitions,
+                       vary_ts=vary_ts) \
         .write.mode("overwrite").parquet(path)
