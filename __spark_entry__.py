@@ -1185,6 +1185,158 @@ FROM b ORDER BY media_id
 """
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace + BPE-pre-tokenizer regex)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long")
+         .alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _oracle_bpe_token_count() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def _near_dup_plane_bands():
+    """2 bands x 4 planes, the embedding_near_dups defaults."""
+    return [[[(1.0 if (b * 17 + i * 13 + j * 7) % 5 < 2 else -1.0)
+              for j in range(64)] for i in range(4)] for b in range(2)]
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: the corpus is the first 200
+    embeddings unioned with scaled copies (cosine-identical, id+100000) —
+    the LSH bucket self-join must recover the planted duplicates."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+         .alias("embedding"))
+    shifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double) * 1.01d)")
+         .alias("embedding"))
+    return S.embedding_near_dups(base.union(shifted), threshold=0.99,
+                                 planes=_near_dup_plane_bands()) \
+        .orderBy("a", "b")
+
+
+def _oracle_embedding_near_dups() -> str:
+    def sign(plane) -> str:
+        lst = "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
+        return ("CASE WHEN list_reduce(list_prepend(0.0, "
+                f"[v[i] * (CAST({lst} AS DOUBLE[]))[i] "
+                "for i in range(1, 65)]), (a, b) -> a + b) >= 0 "
+                "THEN '1' ELSE '0' END")
+
+    bands = "\nUNION ALL ".join(
+        f"SELECT vec_id, v, {bi} AS band, "
+        f"concat({', '.join(sign(p) for p in band)}) AS bucket FROM c"
+        for bi, band in enumerate(_near_dup_plane_bands()))
+    return f"""
+WITH base AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+              FROM embeddings WHERE vec_id < 200),
+c AS (SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000, [x * 1.01 for x in v] FROM base),
+buck AS ({bands}),
+ok AS (SELECT band, bucket FROM buck GROUP BY band, bucket
+       HAVING COUNT(*) <= 1000),
+capped AS (SELECT buck.* FROM buck JOIN ok USING (band, bucket)),
+scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         MIN(ROUND(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 4)) AS sim
+  FROM capped x JOIN capped y USING (band, bucket)
+  WHERE x.vec_id < y.vec_id
+  GROUP BY 1, 2)
+SELECT a, b, sim FROM scored WHERE sim >= 0.99 ORDER BY a, b
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the binary column: features of the resized
+    payloads (new dims land in the header, body resampled)."""
+    from syslog_loose_spark.sources.multimodal import (
+        extract_features, media_table, resize_media)
+
+    return extract_features(resize_media(media_table(spark, 64), 8, 5)) \
+        .orderBy("media_id")
+
+
+def _oracle_multimodal_resize() -> str:
+    # resized body length: 8*5 % 64 + 16 = 56; byte i of the new body is
+    # old_body[(i * old_len) // 56] = (media_id*7 + (i*old_len)//56) % 256
+    return """
+WITH m AS (
+  SELECT i AS media_id,
+         (['image','audio','video'])[CAST(i % 3 AS INT) + 1] AS kind,
+         (( (16 + i % 5) * (9 + i % 4) ) % 64) + 16 AS blen
+  FROM range(0, 64) t(i))
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(12 + 56 AS INT) AS n_bytes,
+       CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+       CAST((279 + 8 + 5
+             + list_sum([(media_id * 7 + ((i * blen) // 56)) % 256
+                         for i in range(0, 56)])) % 2147483647
+            AS BIGINT) AS checksum
+FROM m ORDER BY media_id
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per (media, frame) with the frame
+    byte sum computed JVM-side from the binary column."""
+    from syslog_loose_spark.sources.multimodal import (
+        media_table, sample_frames)
+
+    fr = sample_frames(media_table(spark, 64), 4)
+    byte_sum = F.aggregate(
+        F.sequence(F.lit(1), F.octet_length("frame")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.conv(
+            F.hex(F.col("frame").substr(i, F.lit(1))), 16, 10).cast("long"),
+    )
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        byte_sum.alias("byte_sum"),
+    ).orderBy("media_id", "frame_idx")
+
+
+def _oracle_multimodal_frame_sample() -> str:
+    frames = "\nUNION ALL ".join(
+        f"SELECT media_id, {k} AS frame_idx, "
+        f"(({k + 1}) * blen) // 4 - ({k} * blen) // 4 AS n_bytes, "
+        f"list_sum([(media_id * 7 + i) % 256 "
+        f"for i in range(({k} * blen) // 4, (({k + 1}) * blen) // 4)]) "
+        f"AS byte_sum FROM m"
+        for k in range(4))
+    return f"""
+WITH m AS (
+  SELECT i AS media_id,
+         (( (16 + i % 5) * (9 + i % 4) ) % 64) + 16 AS blen
+  FROM range(0, 64) t(i)),
+f AS ({frames})
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(n_bytes AS INT) AS n_bytes,
+       CAST(byte_sum AS BIGINT) AS byte_sum
+FROM f ORDER BY media_id, frame_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1238,6 +1390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1274,4 +1430,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "ann_lsh_topk": _oracle_ann_lsh(),
         "multimodal_features": _oracle_multimodal_features(),
+        "bpe_token_count": _oracle_bpe_token_count(),
+        "embedding_near_dups": _oracle_embedding_near_dups(),
+        "multimodal_resize": _oracle_multimodal_resize(),
+        "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
     }

@@ -82,3 +82,19 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + F.length(x)) % F.lit(MOD31),
     )
+
+
+# A GPT2-style pre-tokenizer shape, restricted to constructs that parse
+# identically in Java regex (Spark) and RE2 (DuckDB): runs of letters,
+# runs of digits, runs of other non-space chars (each with an optional
+# leading space), or runs of spaces.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-pre-tokenizer-style segmentation (regex, JVM-side)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))

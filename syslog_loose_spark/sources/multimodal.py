@@ -102,3 +102,75 @@ def text_as_binary(documents: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("n_bytes", IntegerType(), False),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), False),
+    StructField("n_bytes", IntegerType(), False),
+])
+
+
+def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Deterministic nearest-neighbor 'resize' of a fake-format payload:
+    new header dims + the body resampled to the new body length.  A real
+    codec slots in here (PIL.Image.resize) — the Spark-side plumbing
+    (schema, Arrow batching, per-batch loop) is identical."""
+    if payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real image resizing requires PIL/ffmpeg — not in this sandbox")
+    body = payload[12:]
+    new_len = new_w * new_h % 64 + 16
+    out = bytes(body[(i * len(body)) // new_len] for i in range(new_len))
+    return _MAGIC + struct.pack("<II", new_w, new_h) + out
+
+
+def resize_media(df: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Arrow-batched resize over the binary column (mapInPandas; no
+    per-row UDF registration, partition-preserving — no shuffle)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [resize_payload(bytes(p), new_w, new_h)
+                        for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int) -> DataFrame:
+    """Deterministic frame sampling: the payload body splits into
+    ``n_frames`` contiguous chunks (frame k = body[k*L//n : (k+1)*L//n]),
+    one output row per frame — the video-frame-extraction shape (ffmpeg
+    slots into the chunking step in production)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                body = bytes(p)[12:]
+                ln = len(body)
+                for k in range(n_frames):
+                    fr = body[k * ln // n_frames:(k + 1) * ln // n_frames]
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(fr)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_idx": idxs,
+                "frame": frames,
+                "n_bytes": [len(f) for f in frames],
+            })
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

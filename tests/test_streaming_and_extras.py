@@ -292,3 +292,47 @@ def test_socket_source_end_to_end(spark):
             assert r["facility"] == m.facility
             matched += 1
     assert matched >= len(lines)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from syslog_loose_spark.sources.multimodal import (
+        decode_image, media_table, resize_media, resize_payload,
+        sample_frames)
+
+    resized = resize_media(media_table(spark, 12), 8, 5).collect()
+    assert len(resized) == 12
+    for r in resized:
+        w, h = decode_image(bytes(r["payload"]))
+        assert (w, h) == (8, 5)
+        assert r["n_bytes"] == 12 + 56
+
+    frames = sample_frames(media_table(spark, 12), 4).collect()
+    assert len(frames) == 48
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    from syslog_loose_spark.sources.multimodal import fake_media
+    for mid, frs in by_media.items():
+        body = fake_media(mid, "image", 16 + mid % 5, 9 + mid % 4)[12:]
+        got = b"".join(bytes(r["frame"])
+                       for r in sorted(frs, key=lambda r: r["frame_idx"]))
+        assert got == body, mid  # frames reassemble the body exactly
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        resize_payload(b"\x89PNG_nope", 8, 5)
+
+
+def test_embedding_near_dups_recovers_planted(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where(F.col("vec_id") < 50)
+    base = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("embedding"))
+    dup = emb.select((F.col("vec_id") + 1000).alias("vec_id"), F.expr(
+        "transform(embedding, x -> cast(x as double) * 2.0d)")
+        .alias("embedding"))
+    pairs = {(r["a"], r["b"]): r["sim"] for r in
+             S.embedding_near_dups(base.union(dup), threshold=0.99)
+             .collect()}
+    for i in range(50):
+        assert pairs.get((i, i + 1000)) == 1.0, i
