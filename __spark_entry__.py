@@ -584,10 +584,14 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,4)")
+    # nation/region are FIXED-size dims (25/5 rows) -> always broadcast;
+    # customer/supplier grow with SF, so the broadcast decision belongs to
+    # AQE's runtime size estimate (at 100 TB a forced customer broadcast
+    # would OOM the executors; at bench SFs AQE still picks broadcast)
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .where(c["c_nationkey"] == s["s_nationkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])

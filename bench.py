@@ -221,14 +221,23 @@ def main() -> None:
     write_fixture(spark, fixture, n_rows, vary_ts=True,
                   partitions=4 * _slots(cpus))
 
-    # per-family queries at the driver's sf dir (warm session)
+    # per-family queries at the driver's sf dir.  Each query first runs at
+    # sf0.001 to compile its whole-stage-codegen (first-pass JIT on the
+    # big expression trees costs 5-20s and is a per-plan-shape, not
+    # per-dataset, cost — a long-lived engine pays it once)
     queries = entry_mod.queries()
-    for name in ("syslog_parse_golden", "syslog_route_counts",
-                 "syslog_agg_fac_sev_hour", "q1_pricing_summary",
-                 "q3_top_orders", "q5_nation_revenue", "events_hourly",
-                 "dedup_exact", "ngram_jaccard", "minhash_signatures",
-                 "doc_fingerprint", "text_quality", "lang_id",
-                 "ann_cosine_topk", "embedding_norms"):
+    names = ("syslog_parse_golden", "syslog_route_counts",
+             "syslog_agg_fac_sev_hour", "q1_pricing_summary",
+             "q3_top_orders", "q5_nation_revenue", "events_hourly",
+             "dedup_exact", "ngram_jaccard", "minhash_signatures",
+             "doc_fingerprint", "text_quality", "lang_id",
+             "ann_cosine_topk", "embedding_norms", "bpe_token_count",
+             "simhash_near_dups", "embedding_near_dups")
+    warm_dir = "/root/testdata/sf0.001"
+    for name in names:
+        if os.path.isdir(warm_dir):
+            queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite").save()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite").save()

@@ -102,7 +102,9 @@ class PipelineConfig:
     parse: ParseConfig = field(default_factory=ParseConfig)
     #: sources whose key frequency is high enough to skew the routing shuffle;
     #: rows from these are salted with xxhash64(doc_id) % salt_buckets.
-    hot_sources: tuple[str, ...] = ("nginx",)
+    #: None = measure instead of configure (route.detect_hot_sources runs
+    #: one cheap key-count pass at job start); () = no salting.
+    hot_sources: tuple[str, ...] | None = ("nginx",)
     salt_buckets: int = 16
     #: severity bucket boundaries: 0-3 high, 4-5 mid, 6-7 low, null -> "unknown"
     shuffle_partitions: int = 32

@@ -39,12 +39,32 @@ def with_sink(enriched: DataFrame) -> DataFrame:
     )
 
 
+def detect_hot_sources(df: DataFrame, fraction: float = 0.25,
+                       key_col: str = "source") -> tuple:
+    """Find skewed routing keys by measurement instead of configuration:
+    one column-pruned partial-agg pass over the key column; any key
+    holding more than ``fraction`` of rows is hot and gets salted.  At
+    10^12 rows this aggregate shuffles a handful of (key, count) rows —
+    negligible next to the parse — and replaces a hand-maintained list
+    that silently goes stale when traffic shifts."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in counts) or 1
+    return tuple(sorted(r[key_col] for r in counts
+                        if r["n"] / total >= fraction))
+
+
+def _is_hot(cfg: PipelineConfig):
+    if not cfg.hot_sources:
+        return F.lit(False)
+    return F.col("source").isin(*cfg.hot_sources)
+
+
 def salted_source(cfg: PipelineConfig):
     """Deterministic hot-source salt: source '#' xxhash64(doc_id) % K."""
-    hot = F.col("source").isin(*cfg.hot_sources)
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.salt_buckets))
     return F.when(
-        hot, F.concat_ws("#", F.col("source"), salt.cast("string"))
+        _is_hot(cfg),
+        F.concat_ws("#", F.col("source"), salt.cast("string"))
     ).otherwise(F.col("source"))
 
 
@@ -58,9 +78,9 @@ def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
     per-task working set to a couple of open files and (with
     maxConcurrentOutputFileWriters, session.py) skips its implicit
     whole-row sort, which dominates write cost for fat token rows."""
-    hot = F.col("source").isin(*cfg.hot_sources)
-    salt = F.when(hot, F.pmod(F.xxhash64(F.col("doc_id")),
-                              F.lit(cfg.salt_buckets))).otherwise(F.lit(0))
+    salt = F.when(_is_hot(cfg),
+                  F.pmod(F.xxhash64(F.col("doc_id")),
+                         F.lit(cfg.salt_buckets))).otherwise(F.lit(0))
     (
         routed
         .repartition(cfg.shuffle_partitions,

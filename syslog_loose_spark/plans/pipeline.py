@@ -38,6 +38,15 @@ def run_pipeline(spark: SparkSession, tokens_df: DataFrame, out_dir: str,
     ``fail_after_chunk`` is a test hook: raise after committing that many
     chunks, simulating a mid-run kill for the resume-idempotence tests.
     """
+    if cfg.hot_sources is None:
+        # auto-detect routing skew (one column-pruned count pass)
+        import dataclasses
+
+        from ..operators.route import detect_hot_sources
+
+        cfg = dataclasses.replace(
+            cfg, hot_sources=detect_hot_sources(tokens_df))
+
     state_dir = os.path.join(out_dir, "state")
     done = completed_chunks(spark, state_dir, run_id)
 

@@ -165,3 +165,24 @@ def test_sink_write_plan_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("BroadcastExchange") == 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_detect_hot_sources_and_auto_salting(spark, tmp_path):
+    """hot_sources=None measures skew instead of configuring it: the
+    generated table is ~60% nginx, so detection finds exactly nginx, and
+    the auto-salted run produces identical sink aggregates."""
+    from syslog_loose_spark.operators.route import detect_hot_sources
+
+    toks = generate_tokenized(spark, 3000)
+    assert detect_hot_sources(toks) == ("nginx",)
+    assert detect_hot_sources(toks, fraction=0.001) == tuple(sorted(
+        r["source"] for r in toks.select("source").distinct().collect()))
+
+    agg_auto = run_pipeline(
+        spark, toks, str(tmp_path / "auto"), run_id="a",
+        cfg=PipelineConfig(hot_sources=None), n_chunks=1).collect()
+    agg_static = run_pipeline(
+        spark, toks, str(tmp_path / "static"), run_id="s",
+        cfg=PipelineConfig(), n_chunks=1).collect()
+    assert sorted(map(tuple, agg_auto), key=repr) == \
+        sorted(map(tuple, agg_static), key=repr)
