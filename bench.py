@@ -193,10 +193,11 @@ def kernel_scaling(cpus: int, rows_per_proc: int = 300_000) -> dict:
     # see the cpu/wall decomposition below: wall_over_cpu ~ 1.0 means no
     # worker ever waits, while cpu_sec_per_row rising at full width is the
     # shared box's clocks, which a real cluster does not share)
-    out["efficiency_1_to_4"] = eff(1, 4)
+    if cpus >= 4:
+        out["efficiency_1_to_4"] = eff(1, 4)
+        out["efficiency_n_to_4n_low"] = out["efficiency_1_to_4"]
     if cpus >= 8:
         out["efficiency_2_to_8"] = eff(2, 8)
-    out["efficiency_n_to_4n_low"] = out["efficiency_1_to_4"]
     out["efficiency_n_to_4n_high"] = eff(lo, hi)
     out["decomposition"] = {
         f"{p}p": d for p, d in detail.items() if p in (lo, hi, 1, 4)}

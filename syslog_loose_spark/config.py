@@ -43,8 +43,16 @@ def year_resolver(policy) -> "Callable[[int, int, int, int, int], int]":
     The reference's resolver receives the whole IncompleteDate
     ``(month, day, hour, minute, second)`` (lib.rs:105-110,
     timestamp.rs:25); older 1-arg policies (month only) are still
-    accepted and wrapped.
+    accepted and wrapped.  Memoized per policy callable so the per-row
+    slow path never pays inspect.signature reflection.
     """
+    try:
+        return _year_resolver_cached(policy)
+    except TypeError:          # unhashable callable: resolve uncached
+        return _year_resolver(policy)
+
+
+def _year_resolver(policy):
     import inspect
 
     try:
@@ -54,6 +62,14 @@ def year_resolver(policy) -> "Callable[[int, int, int, int, int], int]":
     if n >= 5:
         return policy
     return lambda mon, d, h, mi, s: policy(mon)
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=128)
+def _year_resolver_cached(policy):
+    return _year_resolver(policy)
 
 
 @dataclass(frozen=True)

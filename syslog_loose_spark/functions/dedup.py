@@ -61,7 +61,8 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_freq: int = 1000) -> DataFrame:
+                        max_shingle_freq: int = 1000,
+                        persist: bool = True) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Shuffle plan: explode -> distinct -> self-join on shingle -> count
@@ -72,16 +73,20 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     worst bucket at ~max_shingle_freq²/2).
 
     The exploded shingle relation feeds four consumers (sizes, freq, both
-    self-join sides); it is persisted so the explode+distinct shuffle runs
-    once instead of four times.
+    self-join sides); with ``persist`` (default) it is cached so the
+    explode+distinct shuffle runs once instead of four times.  The cache
+    lives until the session ends or the caller unpersists (e.g.
+    ``spark.catalog.clearCache()`` between jobs); pass ``persist=False``
+    in cache-sensitive long-lived sessions.
     """
     sh = (
         df.select(F.col(id_col).alias("id"),
                   F.explode(F.array_distinct(
                       shingles(F.col(text_col), n))).alias("sh"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "sh")
@@ -155,7 +160,8 @@ def minhash_signature_df(df: DataFrame, k: int = 8, n: int = 3,
 def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
                            n: int = 3, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_bucket_size: int = 1000) -> DataFrame:
+                           max_bucket_size: int = 1000,
+                           persist: bool = True) -> DataFrame:
     """Banded LSH: equal band-slices of the signature land in the same
     bucket; candidate pairs come from a groupBy-bucket self-join — the
     scalable alternative to the quadratic all-pairs comparison.
@@ -176,8 +182,9 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
                          F.col("sig")[bi * rows + r].cast("string")
                          for r in range(rows)]).alias("key"))
             for bi in range(bands)])).alias("bk"),
-    ).select("id", "bk.band", "bk.key") \
-     .persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("id", "bk.band", "bk.key")
+    if persist:   # 3 consumers (cap agg + both join sides); see
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)  # ngram note
     bucket_ok = (banded.groupBy("band", "key")
                  .agg(F.count(F.lit(1)).alias("bn"))
                  .where(F.col("bn") <= max_bucket_size)
@@ -227,7 +234,8 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket_size: int = 1000) -> DataFrame:
+                      max_bucket_size: int = 1000,
+                      persist: bool = True) -> DataFrame:
     """Near-dup pairs (a < b) with hamming(simhash_a, simhash_b) <=
     ``max_hamming``.
 
@@ -242,8 +250,9 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = simhash_df(df, text_col, id_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # NB: sh itself has a single consumer (sliced) — only the sliced
+    # relation, read 3x, is worth caching
+    sh = simhash_df(df, text_col, id_col)
     sliced = sh.select(
         "id", "sh",
         F.explode(F.array(*[
@@ -252,8 +261,9 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
                 F.shiftrightunsigned("sh", b * width)
                  .bitwiseAND(F.lit(mask)).alias("key"))
             for b in range(bands)])).alias("bk"),
-    ).select("id", "sh", "bk.band", "bk.key") \
-     .persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("id", "sh", "bk.band", "bk.key")
+    if persist:
+        sliced = sliced.persist(StorageLevel.MEMORY_AND_DISK)
     bucket_ok = (sliced.groupBy("band", "key")
                  .agg(F.count(F.lit(1)).alias("bn"))
                  .where(F.col("bn") <= max_bucket_size)

@@ -124,7 +124,8 @@ def _is_vector(x) -> bool:
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
                         planes=None, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        max_bucket_size: int = 1000) -> DataFrame:
+                        max_bucket_size: int = 1000,
+                        persist: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     Scale shape: random-hyperplane LSH bucket SELF-join (multi-band
@@ -149,6 +150,12 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
                      hyperplane_signs(F.col(vec_col), band).alias("bucket"))
             for bi, band in enumerate(bands)])).alias("bk"),
     ).select("id", "v", "bk.band", "bk.bucket")
+    if persist:
+        # 3 consumers (cap agg + both join sides): cache so the hyperplane
+        # sign folds run once, not three times (same pattern as dedup.py)
+        from pyspark.storagelevel import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     bucket_ok = (bucketed.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("bn"))
                  .where(F.col("bn") <= max_bucket_size)

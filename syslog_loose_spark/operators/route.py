@@ -42,15 +42,18 @@ def with_sink(enriched: DataFrame) -> DataFrame:
 def detect_hot_sources(df: DataFrame, fraction: float = 0.25,
                        key_col: str = "source") -> tuple:
     """Find skewed routing keys by measurement instead of configuration:
-    one column-pruned partial-agg pass over the key column; any key
-    holding more than ``fraction`` of rows is hot and gets salted.  At
-    10^12 rows this aggregate shuffles a handful of (key, count) rows —
-    negligible next to the parse — and replaces a hand-maintained list
-    that silently goes stale when traffic shifts."""
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    total = sum(r["n"] for r in counts) or 1
-    return tuple(sorted(r[key_col] for r in counts
-                        if r["n"] / total >= fraction))
+    a column-pruned count pass over the key column; any key holding at
+    least ``fraction`` of rows is hot and gets salted.  The threshold
+    filter runs Spark-side BEFORE the collect, so at most 1/fraction rows
+    ever reach the driver — safe even for a high-cardinality key column.
+    At 10^12 rows this is two cheap aggregate jobs, negligible next to
+    the parse, and it replaces a hand-maintained list that silently goes
+    stale when traffic shifts."""
+    total = df.count() or 1
+    hot = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") >= float(fraction) * total)
+           .select(key_col).collect())
+    return tuple(sorted(r[key_col] for r in hot))
 
 
 def _is_hot(cfg: PipelineConfig):

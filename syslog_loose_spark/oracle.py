@@ -359,7 +359,9 @@ def _timestamp_3164(s: str, cfg: ParseConfig) -> Tuple[str, Optional[datetime]]:
 
     zone = cfg.zone
     tz = timezone(timedelta(seconds=cfg.effective_offset))
-    explicit_tz = zone is not None or cfg.tz_offset_seconds is not None
+    # NB: named-zone mode never reaches the explicit_tz branch (branch 2
+    # returns earlier under `zone is not None`)
+    explicit_tz = cfg.tz_offset_seconds is not None
     year_fn = year_resolver(cfg.year_policy)
     # branch 1: no year
     try:

@@ -38,8 +38,13 @@ def run_pipeline(spark: SparkSession, tokens_df: DataFrame, out_dir: str,
     ``fail_after_chunk`` is a test hook: raise after committing that many
     chunks, simulating a mid-run kill for the resume-idempotence tests.
     """
-    if cfg.hot_sources is None:
-        # auto-detect routing skew (one column-pruned count pass)
+    state_dir = os.path.join(out_dir, "state")
+    done = completed_chunks(spark, state_dir, run_id)
+    todo = [c for c in range(n_chunks) if c not in done]
+
+    if cfg.hot_sources is None and todo:
+        # auto-detect routing skew (column-pruned count pass) — only when
+        # there is work left, so a fully-resumed run stays scan-free
         import dataclasses
 
         from ..operators.route import detect_hot_sources
@@ -47,14 +52,9 @@ def run_pipeline(spark: SparkSession, tokens_df: DataFrame, out_dir: str,
         cfg = dataclasses.replace(
             cfg, hot_sources=detect_hot_sources(tokens_df))
 
-    state_dir = os.path.join(out_dir, "state")
-    done = completed_chunks(spark, state_dir, run_id)
-
     chunk_key = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks))
     n_done = 0
-    for c in range(n_chunks):
-        if c in done:
-            continue
+    for c in todo:
         chunk_in = tokens_df.where(chunk_key == c)   # pre-parse pruning
         routed = parsed_pipeline(chunk_in, cfg)
         chunk_dir = os.path.join(routed_dir(out_dir), f"chunk={c}")

@@ -93,7 +93,10 @@ def stream_rate_synthetic(spark: SparkSession,
         F.array(*[F.lit(t) for t in tokenize(line)])
         for _, line in GOLDEN_CORPUS])
     tail = F.array(*[F.lit(s) for s in SOURCES[1:]])
-    h = (F.col("value") * F.lit(_MIX)) % 100
+    # (value * _MIX) % 100 would overflow int64 for value >= ~3.5e9 and
+    # silently diverge from corpus.source_for (exact Python ints); reduce
+    # both factors mod 100 first — modular-arithmetic-equal, can't wrap
+    h = ((F.col("value") % 100) * F.lit(_MIX % 100)) % 100
     source = (F.when(h < 60, F.lit(SOURCES[0]))
               .otherwise(F.element_at(
                   tail, (h % (len(SOURCES) - 1)).cast("int") + 1)))
