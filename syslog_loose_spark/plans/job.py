@@ -29,8 +29,14 @@ def main(argv=None) -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--salt-buckets", type=int, default=32)
-    ap.add_argument("--hot-sources", nargs="*", default=["nginx"])
+    ap.add_argument("--hot-sources", nargs="*", default=["nginx"],
+                    help="skewed source keys to salt; 'auto' = measure "
+                         "with route.detect_hot_sources at job start")
     ap.add_argument("--tz-offset-seconds", type=int, default=None)
+    ap.add_argument("--tz-name", default=None,
+                    help="IANA zone for DST-aware RFC3164 timestamps "
+                         "(earliest-on-ambiguity, fail-on-gap); overrides "
+                         "--tz-offset-seconds")
     ap.add_argument("--variant", default="either",
                     choices=["either", "rfc3164", "rfc5424"])
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -50,10 +56,13 @@ def main(argv=None) -> None:
              .getOrCreate())
     shuffle = args.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
+    hot = (None if args.hot_sources == ["auto"]
+           else tuple(args.hot_sources))
     cfg = PipelineConfig(
         parse=ParseConfig(variant=args.variant,
-                          tz_offset_seconds=args.tz_offset_seconds),
-        hot_sources=tuple(args.hot_sources),
+                          tz_offset_seconds=args.tz_offset_seconds,
+                          tz_name=args.tz_name),
+        hot_sources=hot,
         salt_buckets=args.salt_buckets,
         shuffle_partitions=shuffle,
     )
