@@ -1160,6 +1160,61 @@ FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 10),
+                      n_cells=16, n_probe=4, k=5) \
+        .orderBy("query_id", "rank")
+
+
+def _oracle_ann_ivf() -> str:
+    # centroid sims use the same sequential left-fold as Spark's
+    # F.aggregate (list_dot_product's summation order is unspecified and a
+    # flipped tie would change cell assignment); cell ranking ties break
+    # (sim DESC, cell DESC) to mirror reverse(array_sort(...))
+    return """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM e WHERE vec_id < 16),
+sims AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROUND(list_reduce(list_prepend(0.0,
+                   [e.v[i] * c.cv[i] for i in range(1, 65)]),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                      [e.v[i] * e.v[i] for i in range(1, 65)]),
+                      (a, b) -> a + b))
+                  * sqrt(list_reduce(list_prepend(0.0,
+                      [c.cv[i] * c.cv[i] for i in range(1, 65)]),
+                      (a, b) -> a + b))), 6) AS csim
+  FROM e CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell DESC) AS r
+  FROM sims),
+assigned AS (SELECT vec_id AS neighbor_id, v AS cv, cell
+             FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cell
+           FROM ranked WHERE r <= 4 AND vec_id < 10),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         MIN(ROUND(list_dot_product(a.cv, p.qv)
+                   / (sqrt(list_dot_product(a.cv, a.cv))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 4)) AS sim
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+  GROUP BY 1, 2)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INT)
+           AS rank,
+       neighbor_id, sim
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_loose_spark.sources.multimodal import (
         extract_features, media_table)
@@ -1393,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1433,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "ann_lsh_topk": _oracle_ann_lsh(),
+        "ann_ivf_topk": _oracle_ann_ivf(),
         "multimodal_features": _oracle_multimodal_features(),
         "bpe_token_count": _oracle_bpe_token_count(),
         "embedding_near_dups": _oracle_embedding_near_dups(),

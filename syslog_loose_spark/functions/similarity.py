@@ -169,3 +169,62 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
         .agg(F.min("sim").alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
+             n_probe: int = 4, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat approximate top-k: the inverted-file alternative to
+    hyperplane LSH.
+
+    Cells are the ``n_cells`` lowest-id corpus vectors (deterministic, no
+    iterative k-means — the partitioning quality matters less than the
+    pruning structure, and determinism keeps it oracle-checkable).  Every
+    corpus row is assigned to its max-cosine cell (one broadcast of
+    n_cells vectors, one argmax per row — no shuffle); each query probes
+    its ``n_probe`` nearest cells and re-scores exactly only within them.
+
+    Scale shape: corpus scan is embarrassingly parallel; the candidate
+    join is an equality join on cell id, so cost is
+    O(rows x n_probe / n_cells) per query instead of O(rows x queries);
+    recall is tunable via n_probe (n_probe == n_cells degrades gracefully
+    to exact brute force).
+    """
+    cents = [(int(r[0]), list(r[1])) for r in
+             corpus.select(id_col, vec_col)
+             .where(F.col(id_col) < n_cells)
+             .orderBy(id_col).collect()]
+
+    def best_cells(vec: Column, top: int) -> Column:
+        """Indices of the `top` max-cosine centroids, JVM-side: build a
+        (sim, cell) struct array, sort desc, slice."""
+        scored = F.array(*[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])),
+                        6).alias("sim"),
+                F.lit(i).alias("cell"))
+            for i, (_, c) in enumerate(cents)])
+        ranked = F.reverse(F.array_sort(scored))
+        return F.slice(F.transform(ranked, lambda s: s["cell"]), 1, top)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(best_cells(F.col(vec_col), 1), 1).alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(best_cells(F.col(vec_col), n_probe)).alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .groupBy("query_id", "neighbor_id").agg(F.min("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

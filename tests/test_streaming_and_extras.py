@@ -336,3 +336,21 @@ def test_embedding_near_dups_recovers_planted(spark):
              .collect()}
     for i in range(50):
         assert pairs.get((i, i + 1000)) == 1.0, i
+
+
+def test_ivf_topk_recall_and_exactness_limit(spark):
+    """IVF-Flat: with n_probe == n_cells every cell is probed, so the
+    result must EQUAL brute force; with fewer probes recall is partial
+    but results are always a subset of valid neighbors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["rank"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, q, n_cells=8, n_probe=8, k=3)
+            .collect()}
+    assert full == exact
+    some = {(r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, q, n_cells=8, n_probe=2, k=3)
+            .collect()}
+    assert len(some) > 0
