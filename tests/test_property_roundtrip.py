@@ -207,3 +207,27 @@ def test_fuzz_differential_with_tz(s, tzh):
     cfg = ParseConfig(tz_offset_seconds=tzh * 3600)
     cols = parse_lines([s], [s], cfg)
     assert _msg_eq(parse_message(s, cfg), cols, 0), s
+
+
+@settings(max_examples=800, deadline=None)
+@given(st.text(alphabet=SYSLOGISH, max_size=60))
+def test_fuzz_differential_named_tz(s):
+    """DST-aware named-zone mode: engine and oracle must agree on every
+    input, including 3164 timestamps that land in the America/New_York
+    spring-forward gap (both must fall back)."""
+    cfg = ParseConfig(tz_name="America/New_York")
+    cols = parse_lines([s], [s], cfg)
+    assert _msg_eq(parse_message(s, cfg), cols, 0), s
+
+
+# month/day/time alphabet biased to generate parseable 3164 timestamps
+# around the 2020 DST transitions (Mar 8 / Nov 1 in America/New_York)
+DSTISH = list("MarNov 0123456789:<>ha")
+
+
+@settings(max_examples=1200, deadline=None)
+@given(st.text(alphabet=DSTISH, max_size=40))
+def test_fuzz_differential_dst_edges(s):
+    cfg = ParseConfig(tz_name="America/New_York")
+    cols = parse_lines([s], [s], cfg)
+    assert _msg_eq(parse_message(s, cfg), cols, 0), s
