@@ -70,3 +70,55 @@ def test_chunk_filter_applies_before_parse(spark, tmp_path):
     eval_pos = plan.find("EvalPython")
     filt_pos = plan.find("xxhash64")
     assert filt_pos > eval_pos > -1, plan  # deeper in the tree = printed later
+
+
+def test_q1_pushdown_and_pruning(spark):
+    """The shipdate filter must reach the parquet scan (PushedFilters) and
+    the scan must not read columns q1 never touches (l_tax, l_partkey) —
+    at 100 TB that's the difference between scanning 6 columns and 11."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q1_pricing_summary"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan" in ln and "lineitem" in ln][0]
+    assert "l_shipdate" in scan.split("PushedFilters")[-1], scan
+    assert "l_tax" not in scan, scan
+    assert "l_partkey" not in scan, scan
+
+
+def test_q3_segment_filter_pushed_and_broadcast(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q3_top_orders"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    cust_scan = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "customer" in ln][0]
+    assert "c_mktsegment" in cust_scan.split("PushedFilters")[-1], cust_scan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_shingle_relation_cached_once(spark):
+    """The exploded shingle relation feeds 4 consumers; the plan must show
+    the cache (InMemoryTableScan) instead of 4 explode+distinct trees."""
+    from syslog_loose_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = ngram_jaccard_pairs(docs, threshold=0.5)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_dedup_exact_single_shuffle(spark):
+    """exact_dedup is one hash-aggregate: exactly one Exchange (plus
+    AQE reads) and no join in the plan."""
+    from syslog_loose_spark.functions.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "Join" not in plan, plan
+    n_exchange = sum(1 for ln in plan.splitlines()
+                     if "Exchange hashpartitioning" in ln)
+    assert n_exchange == 1, plan
