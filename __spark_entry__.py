@@ -1112,8 +1112,7 @@ ORDER BY a, b
 
 def _ann_plane_bands():
     """2 OR-amplification bands x 4 deterministic ±1 hyperplanes."""
-    return [[[(1.0 if (b * 31 + i * 13 + j * 7) % 5 < 2 else -1.0)
-              for j in range(64)] for i in range(4)] for b in range(2)]
+    return S.plane_bands(seed=31)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,8 +1266,7 @@ FROM documents ORDER BY doc_id
 
 def _near_dup_plane_bands():
     """2 bands x 4 planes, the embedding_near_dups defaults."""
-    return [[[(1.0 if (b * 17 + i * 13 + j * 7) % 5 < 2 else -1.0)
-              for j in range(64)] for i in range(4)] for b in range(2)]
+    return S.plane_bands(seed=17)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,7 @@ is an explicit fixed offset in seconds (UTC unless configured otherwise).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Callable, Optional
 
 # Variant selection, mirroring /root/reference/src/lib.rs:25-33.
@@ -64,10 +65,7 @@ def _year_resolver(policy):
     return lambda mon, d, h, mi, s: policy(mon)
 
 
-from functools import lru_cache as _lru_cache  # noqa: E402
-
-
-@_lru_cache(maxsize=128)
+@lru_cache(maxsize=128)
 def _year_resolver_cached(policy):
     return _year_resolver(policy)
 

@@ -28,6 +28,19 @@ from pyspark.storagelevel import StorageLevel
 MERSENNE = 2147483647  # 2^31-1, the classic MinHash modulus
 
 
+def cap_buckets(df: DataFrame, keys: list[str],
+                max_bucket_size: int) -> DataFrame:
+    """Drop degenerate buckets before a bucket-equality self-join — one
+    oversized bucket (e.g. millions of near-empty docs sharing a
+    signature) would re-square the join.  Dropped buckets lose only pairs
+    the other bands can still recover, so recall degrades gracefully
+    instead of the job falling over."""
+    ok = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("bn"))
+          .where(F.col("bn") <= max_bucket_size)
+          .select(*keys))
+    return df.join(ok, keys)
+
+
 def content_hash(text: Column) -> Column:
     return F.md5(F.encode(text, "UTF-8"))
 
@@ -166,11 +179,7 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
     bucket; candidate pairs come from a groupBy-bucket self-join — the
     scalable alternative to the quadratic all-pairs comparison.
 
-    ``max_bucket_size`` drops degenerate buckets (e.g. millions of
-    near-empty docs sharing a band signature) before the self-join — one
-    such bucket would otherwise re-square the join.  Dropped buckets lose
-    only pairs that the OTHER bands can still recover, so recall degrades
-    gracefully instead of the job falling over.
+    ``max_bucket_size``: see cap_buckets.
     """
     rows = k // bands
     sig = minhash_signature_df(df, k, n, text_col, id_col)
@@ -183,13 +192,9 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
                          for r in range(rows)]).alias("key"))
             for bi in range(bands)])).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    if persist:   # 3 consumers (cap agg + both join sides); see
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)  # ngram note
-    bucket_ok = (banded.groupBy("band", "key")
-                 .agg(F.count(F.lit(1)).alias("bn"))
-                 .where(F.col("bn") <= max_bucket_size)
-                 .select("band", "key"))
-    capped = banded.join(bucket_ok, ["band", "key"])
+    if persist:   # 3 consumers (cap agg + both join sides); see ngram note
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    capped = cap_buckets(banded, ["band", "key"], max_bucket_size)
     return (
         capped.alias("x").join(capped.alias("y"), ["band", "key"])
         .where(F.col("x.id") < F.col("y.id"))
@@ -264,11 +269,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     ).select("id", "sh", "bk.band", "bk.key")
     if persist:
         sliced = sliced.persist(StorageLevel.MEMORY_AND_DISK)
-    bucket_ok = (sliced.groupBy("band", "key")
-                 .agg(F.count(F.lit(1)).alias("bn"))
-                 .where(F.col("bn") <= max_bucket_size)
-                 .select("band", "key"))
-    capped = sliced.join(bucket_ok, ["band", "key"])
+    capped = cap_buckets(sliced, ["band", "key"], max_bucket_size)
     return (
         capped.alias("x").join(capped.alias("y"), ["band", "key"])
         .where(F.col("x.id") < F.col("y.id"))

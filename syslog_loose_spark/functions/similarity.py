@@ -81,24 +81,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes, k: int = 5,
     the query side is broadcast; duplicate (query, neighbor) candidates
     from multiple bands collapse in one scalar-row groupBy before ranking.
     """
-    if planes and not _is_vector(planes[0]):
-        bands = planes                     # already a list of bands
-    else:
-        bands = [planes]
-
-    def bucketed(df, idn):
-        return df.select(
-            F.col(id_col).alias(idn),
-            F.col(vec_col).alias(idn + "_v"),
-            F.explode(F.array(*[
-                F.struct(F.lit(bi).alias("band"),
-                         hyperplane_signs(F.col(vec_col), band)
-                         .alias("bucket"))
-                for bi, band in enumerate(bands)])).alias("bk"),
-        ).select(idn, idn + "_v", "bk.band", "bk.bucket")
-
-    c = bucketed(corpus, "neighbor_id")
-    q = bucketed(queries, "query_id")
+    bands = _as_bands(planes)
+    c = _banded_buckets(corpus, bands, id_col, vec_col,
+                        "neighbor_id", "neighbor_id_v")
+    q = _banded_buckets(queries, bands, id_col, vec_col,
+                        "query_id", "query_id_v")
     scored = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -121,6 +108,32 @@ def _is_vector(x) -> bool:
     return len(x) > 0 and not hasattr(x[0], "__len__")
 
 
+def plane_bands(n_bands: int = 2, n_planes: int = 4, dim: int = 64,
+                seed: int = 17):
+    """Deterministic ±1 hyperplane bands — pure arithmetic so the DuckDB
+    oracles can regenerate the identical planes."""
+    return [[[(1.0 if (b * seed + i * 13 + j * 7) % 5 < 2 else -1.0)
+              for j in range(dim)] for i in range(n_planes)]
+            for b in range(n_bands)]
+
+
+def _as_bands(planes):
+    return planes if planes and not _is_vector(planes[0]) else [planes]
+
+
+def _banded_buckets(df: DataFrame, bands, id_col: str, vec_col: str,
+                    id_alias: str, vec_alias: str) -> DataFrame:
+    """One row per (input row, band) with the band's sign-bucket key."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     hyperplane_signs(F.col(vec_col), band).alias("bucket"))
+            for bi, band in enumerate(bands)])).alias("bk"),
+    ).select(id_alias, vec_alias, "bk.band", "bk.bucket")
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
                         planes=None, id_col: str = "vec_id",
                         vec_col: str = "embedding",
@@ -137,30 +150,17 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     recall is tunable via bands.  Degenerate buckets are capped like the
     dedup joins.
     """
-    if planes is None:
-        planes = [[[(1.0 if (b * 17 + i * 13 + j * 7) % 5 < 2 else -1.0)
-                    for j in range(64)] for i in range(4)]
-                  for b in range(2)]
-    bands = planes if planes and not _is_vector(planes[0]) else [planes]
-    bucketed = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
-                     hyperplane_signs(F.col(vec_col), band).alias("bucket"))
-            for bi, band in enumerate(bands)])).alias("bk"),
-    ).select("id", "v", "bk.band", "bk.bucket")
+    bands = _as_bands(plane_bands(seed=17) if planes is None else planes)
+    bucketed = _banded_buckets(corpus, bands, id_col, vec_col, "id", "v")
     if persist:
         # 3 consumers (cap agg + both join sides): cache so the hyperplane
         # sign folds run once, not three times (same pattern as dedup.py)
         from pyspark.storagelevel import StorageLevel
 
         bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
-    bucket_ok = (bucketed.groupBy("band", "bucket")
-                 .agg(F.count(F.lit(1)).alias("bn"))
-                 .where(F.col("bn") <= max_bucket_size)
-                 .select("band", "bucket"))
-    capped = bucketed.join(bucket_ok, ["band", "bucket"])
+    from .dedup import cap_buckets
+
+    capped = cap_buckets(bucketed, ["band", "bucket"], max_bucket_size)
     return (
         capped.alias("x").join(capped.alias("y"), ["band", "bucket"])
         .where(F.col("x.id") < F.col("y.id"))
