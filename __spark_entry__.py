@@ -1394,6 +1394,55 @@ FROM f ORDER BY media_id, frame_idx
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-set curation: language filter + quality floor +
+    exact dedup (keep lowest doc_id per content hash) — the shape of a
+    real data-curation job, each stage one of the verified operators."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        docs.where(T.lang_id(F.col("text")) == "en")
+        .where(T.quality_score(F.col("text")) >= 0.5)
+    )
+    survivors = D.exact_dedup(keep).select("doc_id")
+    return (
+        keep.join(survivors, "doc_id")
+        .select("doc_id",
+                T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+                F.round(T.quality_score(F.col("text")), 4).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_curation() -> str:
+    sw_en = ",".join(_sql_quote(s) for s in T.EN_STOPWORDS)
+    sw_de = ",".join(_sql_quote(s) for s in T.DE_STOPWORDS)
+    return f"""
+WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+                  string_split(text, ' ') AS ws0
+           FROM documents),
+m AS (SELECT doc_id, text,
+             len(ws) AS n,
+             len(list_filter(ws, x -> x IN ({sw_en}))) AS en,
+             len(list_filter(ws, x -> x IN ({sw_de}))) AS de,
+             len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+             len(text) AS tlen
+      FROM w),
+q AS (SELECT doc_id, text, n,
+             (least(n / 50.0, 1.0)
+              + least(en * 1.0 / greatest(n, 1) * 5.0, 1.0)
+              + (1.0 - least(punct * 1.0 / greatest(tlen, 1) * 4.0, 1.0)))
+             / 3.0 AS quality
+      FROM m
+      WHERE en > de AND en > 0),
+keep AS (SELECT * FROM q WHERE quality >= 0.5),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text))
+SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens,
+       ROUND(k.quality, 4) AS quality
+FROM keep k JOIN surv USING (doc_id)
+ORDER BY k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1452,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1493,4 +1543,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
+        "curation_pipeline": _oracle_curation(),
     }
