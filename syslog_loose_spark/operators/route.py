@@ -94,3 +94,24 @@ def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
         .mode(mode)
         .parquet(out_dir)
     )
+
+
+def route_write_bucketed(routed: DataFrame, table: str,
+                         cfg: PipelineConfig,
+                         n_buckets: int | None = None,
+                         mode: str = "overwrite") -> None:
+    """Managed-table variant of route_write: bucketBy(doc_id) + sortBy so
+    downstream joins/dedup on doc_id are CO-LOCATED — two tables bucketed
+    the same way join with zero Exchange (asserted in
+    tests/test_plan_quality.py).  On an Iceberg catalog the same plan uses
+    a bucket(doc_id) partition transform; the sandbox has no catalog, so
+    the Hive-style managed table is the tested path."""
+    (
+        routed
+        .write
+        .bucketBy(n_buckets or cfg.shuffle_partitions, "doc_id")
+        .sortBy("doc_id")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -122,3 +122,41 @@ def test_dedup_exact_single_shuffle(spark):
     n_exchange = sum(1 for ln in plan.splitlines()
                      if "Exchange hashpartitioning" in ln)
     assert n_exchange == 1, plan
+
+
+def test_bucketed_route_write_enables_shuffle_free_join(spark, tmp_path):
+    """Two outputs bucketed by doc_id must join with ZERO Exchange — the
+    co-location contract that makes downstream dedup/lineage joins free
+    at 100 TB."""
+    from syslog_loose_spark.operators.route import route_write_bucketed
+    from syslog_loose_spark.sources.tokenized import generate_tokenized
+
+    import shutil
+
+    for t in ("routed_a", "routed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a failed prior run can orphan the managed location
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    routed = parsed_pipeline(generate_tokenized(spark, 400),
+                             PipelineConfig())
+    cfg = PipelineConfig(shuffle_partitions=8)
+    route_write_bucketed(routed.select("doc_id", "source", "sink"),
+                         "routed_a", cfg, n_buckets=8)
+    route_write_bucketed(routed.select("doc_id", "n_tok"),
+                         "routed_b", cfg, n_buckets=8)
+    # force a sort-merge join (tiny test tables would auto-broadcast and
+    # hide the co-location property under test)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("routed_a").join(spark.table("routed_b"), "doc_id")
+             .groupBy("sink").count())
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        # bucketed scans feed the join directly: no shuffle on doc_id
+        assert "Exchange hashpartitioning(doc_id" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE IF EXISTS routed_a")
+    spark.sql("DROP TABLE IF EXISTS routed_b")
