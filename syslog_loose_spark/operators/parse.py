@@ -37,6 +37,7 @@ from ..config import (
 )
 from ..oracle import (
     MONTHS,
+    REF_WS,
     ParseFail,
     parse_rfc3339,
     zone_earliest,
@@ -59,8 +60,8 @@ _PARAM = r'[^\]=]++=[ \t]*+(?:""|"(?:[^"\\]++|\\.)++")'
 # Strict SD element (structured_data.rs:149-166): id then space0 then
 # space-separated params.  The {params} inner group is reused for both the
 # "must have params" (3164) and "params optional" (5424) variants.
-_ELEM_STRICT_5424 = rf'\[[^\s\]=]++[ \t]*+(?:{_PARAM}(?: {_PARAM})*+)?+\]'
-_ELEM_STRICT_3164 = rf'\[[^\s\]=]++[ \t]*+{_PARAM}(?: {_PARAM})*+\]'
+_ELEM_STRICT_5424 = rf'\[(?:[^\s\]=]|[\x1c-\x1f])++[ \t]*+(?:{_PARAM}(?: {_PARAM})*+)?+\]'
+_ELEM_STRICT_3164 = rf'\[(?:[^\s\]=]|[\x1c-\x1f])++[ \t]*+{_PARAM}(?: {_PARAM})*+\]'
 # Permissive fallback (structured_data.rs:169-179): anything up to first ']'.
 _ELEM_PERMISSIVE = r'\[[^\]]*+\]'
 
@@ -77,13 +78,13 @@ _RX5424 = re.compile(
     r'[ \t]++'
     r'(?P<ts>-(?=[ \t])|[^ ]++)'
     r'[ \t]++'
-    r'(?P<host>\S++)'
+    r'(?P<host>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]++'
-    r'(?P<app>\S++)'
+    r'(?P<app>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]++'
-    r'(?P<proc>\S++)'
+    r'(?P<proc>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]++'
-    r'(?P<msgid>\S++)'
+    r'(?P<msgid>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]*+'
     rf'(?P<sd>-|(?:{_ELEM_STRICT_5424}|{_ELEM_PERMISSIVE})++)'
     r'[ \t]*+'
@@ -111,8 +112,8 @@ _RX_TS_WITHYEAR = re.compile(
 _RX3164_TAIL = re.compile(
     # NOTE: no \A — matched via .match(h, pos) which anchors at pos, while
     # \A would still refer to the absolute start of the string.
-    r'(?: (?P<f1>(?:[^\s:]|:(?=\S))++))?+'
-    r'(?: (?P<f2>[^\s:]++))?+'
+    r'(?: (?P<f1>(?:[^\s:]|[\x1c-\x1f]|:(?=(?:\S|[\x1c-\x1f])))++))?+'
+    r'(?: (?P<f2>(?:[^\s:]|[\x1c-\x1f])++))?+'
     r'[ \t]*+'
     r'(?::)?+'
     r'[ \t]*+'
@@ -124,7 +125,7 @@ _RX3164_TAIL = re.compile(
 
 # element/param sub-scanners used to decompose an already-matched SD region
 _RX_ELEM = re.compile(
-    rf'\[(?P<id>[^\s\]=]++)[ \t]*+'
+    rf'\[(?P<id>(?:[^\s\]=]|[\x1c-\x1f])++)[ \t]*+'
     rf'(?P<params>(?:{_PARAM}(?: {_PARAM})*+)?+)\]'
     rf'|(?P<junk>{_ELEM_PERMISSIVE})'
 )
@@ -132,7 +133,7 @@ _RX_PARAM = re.compile(r'(?P<k>[^\]=]++)=[ \t]*+(?P<v>""|"(?:[^"\\]++|\\.)++")')
 
 _RX_PRI = re.compile(r'\A<([0-9]++)>')
 _RX_I32 = re.compile(r'[+-]?[0-9]+\Z')
-_RX_SYSTAG = re.compile(r'([^\s:\[]*+)\[([^\]]++)\]\Z')
+_RX_SYSTAG = re.compile(r'((?:[^\s:\[]|[\x1c-\x1f])*+)\[([^\]]++)\]\Z')
 
 
 def _sd_elements(sd: str) -> List[Tuple[str, List[Tuple[str, str]]]]:
@@ -335,13 +336,13 @@ _RXF_5424 = re.compile(
     r'[ \t]++'
     r'(?P<ts>-(?=[ \t])|[^ ]++)'
     r'[ \t]++'
-    r'(?P<host>\S++)'
+    r'(?P<host>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]++'
-    r'(?P<app>\S++)'
+    r'(?P<app>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]++'
-    r'(?P<proc>\S++)'
+    r'(?P<proc>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]++'
-    r'(?P<msgid>\S++)'
+    r'(?P<msgid>(?:\S|[\x1c-\x1f])++)'
     r'[ \t]*+'
     rf'(?P<sd>-|(?:{_ELEM_STRICT_5424}|{_ELEM_PERMISSIVE})++)'
     r'[ \t]*+'
@@ -360,8 +361,8 @@ _RXF_3164 = re.compile(
     r'|(?P<tsdash>-)'
     r'|(?P<ts3>[^ ]++)(?=[ ])'
     r')'
-    r'(?: (?P<f1>(?:[^\s:]|:(?=\S))++))?+'
-    r'(?: (?P<f2>[^\s:]++))?+'
+    r'(?: (?P<f1>(?:[^\s:]|[\x1c-\x1f]|:(?=(?:\S|[\x1c-\x1f])))++))?+'
+    r'(?: (?P<f2>(?:[^\s:]|[\x1c-\x1f])++))?+'
     r'[ \t]*+'
     r'(?::)?+'
     r'[ \t]*+'
@@ -644,7 +645,7 @@ def parse_lines(lines, raws, cfg: ParseConfig):
                 pname, None, sd, g("msg"))
 
     for i in range(n):
-        s = lines[i].strip()
+        s = lines[i].strip(REF_WS)
         row = _NOT
         if try_5424:
             row = fast_5424(s)

@@ -47,6 +47,15 @@ MONTHS = {
     "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
 }
 
+#: Rust char::is_whitespace == the Unicode White_Space property.  Python's
+#: str.isspace()/regex \s additionally treat the C0 separators
+#: \x1c-\x1f as whitespace; the reference does NOT, so whitespace checks
+#: and the whole-input trim (lib.rs:47) use this exact set.
+REF_WS = ("\t\n\x0b\x0c\r \x85\xa0\u1680"
+          "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+          "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000")
+_WS_SET = frozenset(REF_WS)
+
 
 class ParseFail(Exception):
     """Internal backtracking signal (the nom Err::Error analogue)."""
@@ -167,7 +176,7 @@ def _optional(s: str, has_colons: bool, has_trailing_colon: bool
     i = 0
     while i < len(s):
         c = s[i]
-        if c.isspace() or (not has_colons and c == ":"):
+        if c in _WS_SET or (not has_colons and c == ":"):
             break
         i += 1
     if i == 0:
@@ -453,7 +462,7 @@ def _sd_datum(s: str, allow_failure: bool, allow_empty: bool
             raise ParseFail("[")
         r = s2[1:]
         i = 0
-        while i < len(r) and not (r[i].isspace() or r[i] in "]="):
+        while i < len(r) and not (r[i] in _WS_SET or r[i] in "]="):
             i += 1
         if i == 0:
             raise ParseFail("id")
@@ -571,7 +580,7 @@ def _parse_rfc5424(s: str) -> Message:
 # RFC3164 (rfc3164.rs:19-104)
 # ---------------------------------------------------------------------------
 
-_SYSTAG_RE = re.compile(r"([^\s:\[]*)\[([^\]]+)\]\Z")
+_SYSTAG_RE = re.compile(r"((?:[^\s:\[]|[\x1c-\x1f])*)\[([^\]]+)\]\Z")
 
 
 def _resolve_host_and_tag(f1, f2):
@@ -650,7 +659,7 @@ def _parse_rfc3164(s: str, cfg: ParseConfig) -> Message:
 def parse_message_exact(raw: str, cfg: ParseConfig = ParseConfig()) -> Message:
     """Strict parse — raises ParseFail like the *_exact entry points
     (lib.rs:137-175)."""
-    trimmed = raw.strip()
+    trimmed = raw.strip(REF_WS)   # str::trim == White_Space (lib.rs:47)
     if cfg.variant == VARIANT_RFC5424:
         return _parse_rfc5424(trimmed)
     if cfg.variant == VARIANT_RFC3164:

@@ -132,6 +132,19 @@ ADVERSARIAL = [
     # leap second rejected by engine AND oracle (documented deviation)
     "<34>1 2003-10-11T22:14:60Z h a - - - leap",
     "<34>1 1969-12-31T23:59:59.5Z h a - - - pre-epoch",
+    # C0 separators \x1c-\x1f: Python isspace()/\s say whitespace, Rust
+    # char::is_whitespace (Unicode White_Space) says NOT — they are token
+    # content, and the whole-input trim must not eat them
+    "<34>1 - h\x1cx a - - - fs in host",
+    "<34>1 - h a\x1d b - - - fs in app",
+    "\x1c<34>1 - h a - - - leading fs untrimmed",
+    "<34>1 - h a - - - trailing fs\x1f",
+    "<34>Oct 11 22:14:15 host\x1cname app: m",
+    "<34>Oct 11 22:14:15 h app\x1e[1]: m",
+    '<34>1 - h a - - [id\x1cx k="v"] m',
+    "<34>Oct 11 22:14:15 h a:\x1cmsg body",
+    "\u2028<34>1 - h a - - - ls IS whitespace, trimmed",
+    "<34>Oct 11 22:14:15 -\x1c: fs after dash",
 ]
 
 

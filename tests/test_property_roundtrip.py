@@ -191,7 +191,7 @@ def test_fuzz_differential_any_unicode(s):
 # biased fuzz: syslog-ish alphabet hits grammar branches far more often.
 # Includes non-ASCII decimal digits (٣١２) and NBSP: \d-vs-[0-9] and
 # \s-vs-nom-space divergences must surface here, not in production.
-SYSLOGISH = list('<>[]"\\=:- \tabc019.TZ+\n\u0663\u0661\uff12\u00a0')
+SYSLOGISH = list('<>[]"\\=:- \tabc019.TZ+\n\u0663\u0661\uff12\u00a0\x1c')
 
 
 @settings(max_examples=3000, deadline=None)
