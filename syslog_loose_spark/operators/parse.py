@@ -124,12 +124,18 @@ _RX3164_TAIL = re.compile(
 )
 
 # element/param sub-scanners used to decompose an already-matched SD region
+# NB: re.S is load-bearing — the '\\.' escape atom must match an escaped
+# NEWLINE (nom's escaped(..., anychar) accepts any char); without it these
+# sub-scanners reject a region the re.S master regex already admitted and
+# the element silently degrades to junk
 _RX_ELEM = re.compile(
     rf'\[(?P<id>(?:[^\s\]=]|[\x1c-\x1f])++)[ \t]*+'
     rf'(?P<params>(?:{_PARAM}(?: {_PARAM})*+)?+)\]'
-    rf'|(?P<junk>{_ELEM_PERMISSIVE})'
+    rf'|(?P<junk>{_ELEM_PERMISSIVE})',
+    re.S,
 )
-_RX_PARAM = re.compile(r'(?P<k>[^\]=]++)=[ \t]*+(?P<v>""|"(?:[^"\\]++|\\.)++")')
+_RX_PARAM = re.compile(
+    r'(?P<k>[^\]=]++)=[ \t]*+(?P<v>""|"(?:[^"\\]++|\\.)++")', re.S)
 
 _RX_PRI = re.compile(r'\A<([0-9]++)>')
 _RX_I32 = re.compile(r'[+-]?[0-9]+\Z')

@@ -145,6 +145,13 @@ ADVERSARIAL = [
     "<34>Oct 11 22:14:15 h a:\x1cmsg body",
     "\u2028<34>1 - h a - - - ls IS whitespace, trimmed",
     "<34>Oct 11 22:14:15 -\x1c: fs after dash",
+    # escaped NEWLINE inside an SD value (nom escaped(..., anychar)
+    # accepts any char incl. \n) — regression: sub-scanners missing re.S
+    # silently degraded the element to junk
+    '<34>1 - h a - - [id k="a\\\nb"] m',
+    '<34>1 - h a - - [id k="a\\\nb" c="d"] m',
+    '<34>Oct 11 22:14:15 h a: [id k="x\\\ny"] t',
+    '<34>1 - h a - - [id\nx k="v"] m',
 ]
 
 
