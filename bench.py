@@ -101,7 +101,7 @@ def _slots(ncpu: int) -> int:
     return max(1, (ncpu * 3) // 4)
 
 
-def run_pinned(ncpu: int, fixture: str, out_root: str, reps: int = 2) -> dict:
+def run_pinned(ncpu: int, fixture: str, out_root: str, reps: int = 3) -> dict:
     """Returns {'sec', 'machine_cpu_sec', 'cores_busy'} for the best rep —
     cores_busy at both widths distinguishes a starved run (engine problem)
     from a fully-busy-but-slower-clocked one (shared-VM hardware)."""
@@ -285,7 +285,7 @@ def main() -> None:
             "cores_busy_high": r_full["cores_busy"],
             "machine_cpu_sec_low": r_low["machine_cpu_sec"],
             "machine_cpu_sec_high": r_full["machine_cpu_sec"],
-            "method": "sched-affinity-pinned subprocesses, best-of-2, "
+            "method": "sched-affinity-pinned subprocesses, best-of-3, "
                       "task slots = 0.75x CPUs, tmpfs scratch+output, "
                       "real-plan warmup; cores_busy near the pinned width "
                       "at both points = no starvation, the residual gap "
