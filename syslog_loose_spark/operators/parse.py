@@ -40,6 +40,7 @@ from ..oracle import (
     REF_WS,
     ParseFail,
     parse_rfc3339,
+    u_digits,
     zone_earliest,
     zone_offset_from_utc,
 )
@@ -176,11 +177,16 @@ def _sd_elements(sd: str) -> List[Tuple[str, List[Tuple[str, str]]]]:
 
 
 def _procid(tok: str) -> Tuple[Optional[int], Optional[str]]:
-    """ProcId::from (procid.rs:28-35): i32 or Name; overflow -> Name."""
+    """ProcId::from (procid.rs:28-35): i32 or Name; overflow -> Name.
+    Checked conversion (u_digits): leading zeros fine, huge runs can't
+    crash int()."""
     if _RX_I32.match(tok):
-        v = int(tok)
-        if I32_MIN <= v <= I32_MAX:
-            return v, None
+        sign = -1 if tok[0] == "-" else 1
+        mag = u_digits(tok.lstrip("+-"), 2**31)
+        if mag is not None:
+            v = sign * mag
+            if I32_MIN <= v <= I32_MAX:
+                return v, None
     return None, tok
 
 
@@ -193,8 +199,8 @@ def _parse_5424(h: str):
     m = _RX5424.match(h)
     if m is None:
         raise _Fail
-    ver = int(m.group("ver"))
-    if ver > U32_MAX:
+    ver = u_digits(m.group("ver"), U32_MAX)
+    if ver is None:
         raise _Fail
     tok = m.group("ts")
     if tok == "-":
@@ -254,10 +260,13 @@ def _ts_3164(h: str, cfg: ParseConfig):
     m = _RX_TS_NOYEAR.match(h)
     if m is not None:
         mon = MONTHS.get(m.group("mon").lower())
-        if mon is not None and len(m.group("d")) <= 10:
+        parts = None
+        if mon is not None:
+            parts = [u_digits(m.group(g), U32_MAX)
+                     for g in ("d", "h", "mi", "s")]
+        if parts is not None and None not in parts:
             try:
-                d, hh, mi, ss = (int(m.group("d")), int(m.group("h")),
-                                 int(m.group("mi")), int(m.group("s")))
+                d, hh, mi, ss = parts
                 local = datetime(year_fn(mon, d, hh, mi, ss),
                                  mon, d, hh, mi, ss)
                 if zone is not None:
@@ -273,11 +282,14 @@ def _ts_3164(h: str, cfg: ParseConfig):
     m = _RX_TS_WITHYEAR.match(h)
     if m is not None:
         mon = MONTHS.get(m.group("mon").lower())
-        if mon is not None and max(len(m.group("d")), len(m.group("y"))) <= 10:
+        parts = None
+        if mon is not None:
+            parts = [u_digits(m.group(g), U32_MAX)
+                     for g in ("y", "d", "h", "mi", "s")]
+        if parts is not None and None not in parts:
             try:
-                naive = datetime(int(m.group("y")), mon, int(m.group("d")),
-                                 int(m.group("h")), int(m.group("mi")),
-                                 int(m.group("s")))
+                naive = datetime(parts[0], mon, parts[1],
+                                 parts[2], parts[3], parts[4])
             except ValueError:
                 naive = None
             if naive is not None:
@@ -453,8 +465,8 @@ def _slow_row(s: str, cfg: ParseConfig, try_5424: bool, try_3164: bool):
     h = s
     pm = _RX_PRI.match(s)
     if pm is not None:
-        v = int(pm.group(1))
-        if v <= 255:
+        v = u_digits(pm.group(1), 255)
+        if v is not None:
             f = v >> 3
             fac = f if f <= 23 else None
             sev = v & 7
@@ -508,11 +520,11 @@ def parse_lines(lines, raws, cfg: ParseConfig):
         g = m.group
         pri = g("pri")
         if pri is not None:
-            pri = int(pri)
-            if pri > 255:
+            pri = u_digits(pri, 255)
+            if pri is None:
                 return _BAIL     # nom leaves an overflowing PRI unconsumed
-        ver = int(g("ver"))
-        if ver > U32_MAX:
+        ver = u_digits(g("ver"), U32_MAX)
+        if ver is None:
             return _NOT
         tok = g("ts")
         if tok == "-":
@@ -555,8 +567,8 @@ def parse_lines(lines, raws, cfg: ParseConfig):
         g = m.group
         pri = g("pri")
         if pri is not None:
-            pri = int(pri)
-            if pri > 255:
+            pri = u_digits(pri, 255)
+            if pri is None:
                 return _BAIL
         mon = g("mon1")
         if mon is not None:
@@ -565,9 +577,10 @@ def parse_lines(lines, raws, cfg: ParseConfig):
             if r == 0:
                 mo = months.get(mon.lower())
                 r = None
-                if mo is not None and len(key[1]) <= 9:
-                    d, hh, mi, ss = (int(key[1]), int(key[2]),
-                                     int(key[3]), int(key[4]))
+                parts = ([u_digits(x, U32_MAX) for x in key[1:]]
+                         if mo is not None else None)
+                if parts is not None and None not in parts:
+                    d, hh, mi, ss = parts
                     if hh <= 23 and mi <= 59 and ss <= 59:
                         yr = year_fn(mo, d, hh, mi, ss)
                         days = _days_from_ymd(yr, mo, d)
@@ -594,10 +607,10 @@ def parse_lines(lines, raws, cfg: ParseConfig):
             if r == 0:
                 mo = months.get(key[0].lower())
                 r = None
-                if mo is not None and max(len(key[1]), len(key[2])) <= 9:
-                    d, y, hh, mi, ss = (int(key[1]), int(key[2]),
-                                        int(key[3]), int(key[4]),
-                                        int(key[5]))
+                parts = ([u_digits(x, U32_MAX) for x in key[1:]]
+                         if mo is not None else None)
+                if parts is not None and None not in parts:
+                    d, y, hh, mi, ss = parts
                     if hh <= 23 and mi <= 59 and ss <= 59:
                         days = _days_from_ymd(y, mo, d)
                         if days is not None:

@@ -126,13 +126,26 @@ def _space0(s: str) -> str:
 _DIGITS_RE = re.compile(r"[0-9]+")
 
 
+def u_digits(ds: str, max_value: int) -> Optional[int]:
+    """Rust unsigned from_str on an all-[0-9] run: checked arithmetic
+    accepts ANY number of leading zeros ('<000...034>' is PRI 34) and
+    overflow is a parse failure — never a crash.  Python's bare int()
+    would raise ValueError past 4,300 digits (CPython's conversion
+    limit), killing the task on one adversarial line."""
+    ds = ds.lstrip("0")
+    if len(ds) > len(str(max_value)):
+        return None
+    v = int(ds or "0")
+    return v if v <= max_value else None
+
+
 def _digits(s: str, max_value: int) -> Tuple[str, int]:
     """nom digit1 + FromStr with an unsigned range check (parsers.rs:11-16)."""
     m = _DIGITS_RE.match(s)
     if not m:
         raise ParseFail("digits")
-    v = int(m.group(0))
-    if v > max_value:
+    v = u_digits(m.group(0), max_value)
+    if v is None:
         raise ParseFail("overflow")
     return s[m.end():], v
 
@@ -208,11 +221,15 @@ _I32_RE = re.compile(r"[+-]?[0-9]+")
 
 def _procid_from(tok: str) -> Tuple[Optional[int], Optional[str]]:
     """ProcId::from<&str> (procid.rs:28-35): i32 parse or fall back to Name.
-    Overflowing i32 falls back to Name as well."""
+    Overflowing i32 falls back to Name as well; leading zeros are fine
+    ('+0004' is PID 4) and huge runs can't crash int() (see u_digits)."""
     if _I32_RE.fullmatch(tok):
-        v = int(tok)
-        if I32_MIN <= v <= I32_MAX:
-            return v, None
+        sign = -1 if tok[0] == "-" else 1
+        mag = u_digits(tok.lstrip("+-"), 2**31)
+        if mag is not None:
+            v = sign * mag
+            if I32_MIN <= v <= I32_MAX:
+                return v, None
     return None, tok
 
 

@@ -152,6 +152,23 @@ ADVERSARIAL = [
     '<34>1 - h a - - [id k="a\\\nb" c="d"] m',
     '<34>Oct 11 22:14:15 h a: [id k="x\\\ny"] t',
     '<34>1 - h a - - [id\nx k="v"] m',
+    # checked digit conversion: CPython's int() raises past 4,300 digits,
+    # Rust's checked from_str never crashes and accepts any number of
+    # leading zeros ('<000...034>' IS PRI 34). Must parse or fall back,
+    # never raise.
+    "<" + "9" * 5000 + ">Oct 11 22:14:15 h a: m",
+    "<34>" + "1" * 5000 + " - h a - - - x",
+    "<34>Oct 11 " + "2" * 5000 + ":14:15 h a: m",
+    "<34>1 - h a " + "4" * 5000 + " - - x",
+    "<" + "0" * 5000 + "34>Oct 11 22:14:15 h a: m",   # PRI 34
+    "<34>" + "0" * 4400 + "1 - h a - - - v1",          # version 1
+    "<34>1 - h a +" + "0" * 4400 + "42 - - x",         # PID 42
+    "<34>1 - h a -" + "0" * 4400 + "7 - - x",          # PID -7
+    "<34>Oct 0000000011 22:14:15 h a: m",              # 10-digit 0-pad day
+    "<34>Oct " + "0" * 4400 + "11 22:14:15 h a: m",
+    "<34>Dec 28 0000002008 16:49:07 h a: m",           # 0-padded year
+    "<34>Dec 28 16:49:07 app[" + "0" * 4400 + "9]: m",
+    "<034>Oct 11 22:14:15 h a: m",
 ]
 
 
