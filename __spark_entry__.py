@@ -1394,6 +1394,25 @@ FROM f ORDER BY media_id, frame_idx
 """
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonical text normalization — catches the
+    case/whitespace variants plain exact dedup misses."""
+    docs = _t(spark, sf_dir, "documents")
+    normed = docs.select("doc_id",
+                         T.normalize_text(F.col("text")).alias("text"))
+    return (D.exact_dedup(normed).select("doc_id", "n_dups")
+            .orderBy("doc_id"))
+
+
+def _oracle_dedup_normalized() -> str:
+    return """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')))
+ORDER BY doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -1502,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "curation_pipeline": q_curation_pipeline,
+        "dedup_normalized": q_dedup_normalized,
     }
 
 
@@ -1544,4 +1564,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
         "curation_pipeline": _oracle_curation(),
+        "dedup_normalized": _oracle_dedup_normalized(),
     }

@@ -98,3 +98,11 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup preprocessing: lowercase + collapse runs
+    of ASCII whitespace + trim.  The explicit [ \\t\\r\\n] class (not \\s)
+    keeps Java-regex and RE2/DuckDB semantics identical."""
+    collapsed = F.regexp_replace(F.lower(text), "[ \t\r\n]+", " ")
+    return F.trim(collapsed)
