@@ -261,6 +261,10 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite").save()
         results[name] = round(time.perf_counter() - t0, 3)
+        # drop caches the near-dup operators persisted for this query —
+        # storage must not accumulate across the suite (ADVICE r2)
+        from syslog_loose_spark.functions.dedup import unpersist_tracked
+        unpersist_tracked()
     spark.stop()
 
     os.sync()

@@ -27,6 +27,33 @@ from pyspark.storagelevel import StorageLevel
 
 MERSENNE = 2147483647  # 2^31-1, the classic MinHash modulus
 
+# Bounded registry of persisted intermediates (ADVICE r2): the bucketed
+# relations cached by the near-dup operators used to live until session
+# teardown, so a long-lived session running many queries accumulated
+# executor storage.  Each new tracked persist now evicts the oldest beyond
+# a small window (unpersist only drops cache — consumers recompute, so
+# eviction is always correct), and callers that know a result is fully
+# materialized can drop everything with unpersist_tracked().
+_PERSISTED: list = []
+_MAX_LIVE = 2
+
+
+def _track(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _MAX_LIVE:
+        _PERSISTED.pop(0).unpersist()
+    return df
+
+
+def unpersist_tracked() -> int:
+    """Release every live tracked cache (call after materializing)."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def cap_buckets(df: DataFrame, keys: list[str],
                 max_bucket_size: int) -> DataFrame:
@@ -87,10 +114,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
 
     The exploded shingle relation feeds four consumers (sizes, freq, both
     self-join sides); with ``persist`` (default) it is cached so the
-    explode+distinct shuffle runs once instead of four times.  The cache
-    lives until the session ends or the caller unpersists (e.g.
-    ``spark.catalog.clearCache()`` between jobs); pass ``persist=False``
-    in cache-sensitive long-lived sessions.
+    explode+distinct shuffle runs once instead of four times.  Tracked
+    persists are bounded (see ``_track``) and droppable via
+    ``unpersist_tracked()`` once the result is materialized.
     """
     sh = (
         df.select(F.col(id_col).alias("id"),
@@ -99,7 +125,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
         .distinct()
     )
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _track(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "sh")
@@ -193,7 +219,7 @@ def minhash_lsh_candidates(df: DataFrame, k: int = 8, bands: int = 4,
             for bi in range(bands)])).alias("bk"),
     ).select("id", "bk.band", "bk.key")
     if persist:   # 3 consumers (cap agg + both join sides); see ngram note
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _track(banded)
     capped = cap_buckets(banded, ["band", "key"], max_bucket_size)
     return (
         capped.alias("x").join(capped.alias("y"), ["band", "key"])
@@ -268,7 +294,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
             for b in range(bands)])).alias("bk"),
     ).select("id", "sh", "bk.band", "bk.key")
     if persist:
-        sliced = sliced.persist(StorageLevel.MEMORY_AND_DISK)
+        sliced = _track(sliced)
     capped = cap_buckets(sliced, ["band", "key"], max_bucket_size)
     return (
         capped.alias("x").join(capped.alias("y"), ["band", "key"])

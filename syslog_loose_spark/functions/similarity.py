@@ -154,10 +154,11 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     bucketed = _banded_buckets(corpus, bands, id_col, vec_col, "id", "v")
     if persist:
         # 3 consumers (cap agg + both join sides): cache so the hyperplane
-        # sign folds run once, not three times (same pattern as dedup.py)
-        from pyspark.storagelevel import StorageLevel
+        # sign folds run once, not three times (same bounded-registry
+        # pattern as dedup.py — see dedup._track / unpersist_tracked)
+        from .dedup import _track
 
-        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        bucketed = _track(bucketed)
     from .dedup import cap_buckets
 
     capped = cap_buckets(bucketed, ["band", "bucket"], max_bucket_size)

@@ -293,17 +293,23 @@ def _ts_3164(h: str, cfg: ParseConfig):
             except ValueError:
                 naive = None
             if naive is not None:
-                if zone is not None:
-                    # from_naive_utc_and_offset with the zone's offset at
-                    # naive-as-UTC (timestamp.rs:141-146)
-                    off = zone_offset_from_utc(naive, zone)
-                    return naive.replace(tzinfo=_UTC).astimezone(
-                        timezone(timedelta(seconds=off))), m.end()
-                if cfg.tz_offset_seconds is not None:
-                    # with-year + explicit tz quirk (timestamp.rs:141-146):
-                    # naive attached to the offset as if it were UTC
-                    return naive.replace(tzinfo=_UTC).astimezone(tz), m.end()
-                return naive.replace(tzinfo=tz), m.end()
+                try:
+                    if zone is not None:
+                        # from_naive_utc_and_offset with the zone's offset
+                        # at naive-as-UTC (timestamp.rs:141-146)
+                        off = zone_offset_from_utc(naive, zone)
+                        return naive.replace(tzinfo=_UTC).astimezone(
+                            timezone(timedelta(seconds=off))), m.end()
+                    if cfg.tz_offset_seconds is not None:
+                        # with-year + explicit tz quirk (timestamp.rs:
+                        # 141-146): naive attached to the offset as if UTC
+                        return (naive.replace(tzinfo=_UTC).astimezone(tz),
+                                m.end())
+                    return naive.replace(tzinfo=tz), m.end()
+                except (ParseFail, OverflowError):
+                    # offset-shifted wall clock outside year 1..9999:
+                    # overflow = parse failure (oracle.py branch 2 parity)
+                    pass
     if h.startswith("-"):
         return None, 1
     idx = h.find(" ")
@@ -347,6 +353,12 @@ def _parse_3164(h: str, cfg: ParseConfig):
 
 _EPOCH_ORD = 719163  # date(1970,1,1).toordinal()
 _US = 1_000_000
+# Python datetime wall-clock bounds as epoch µs (0001-01-01T00:00:00 /
+# 9999-12-31T23:59:59.999999).  A with-year timestamp whose offset-shifted
+# wall clock leaves this range is a parse FAILURE on both engine and
+# oracle (never a crash) — the same documented policy as >9999 years.
+_MIN_WALL_US = -62135596800 * _US
+_MAX_WALL_US = 253402300799 * _US + 999999
 
 _RXF_5424 = re.compile(
     r'(?:<(?P<pri>[0-9]++)>)?+'
@@ -619,11 +631,20 @@ def parse_lines(lines, raws, cfg: ParseConfig):
                             # with-year + explicit tz: naive treated as UTC
                             # (timestamp.rs:141-146); else local==pinned tz
                             if zone is not None:
-                                off = zone_offset_from_utc(
-                                    datetime(y, mo, d, hh, mi, ss), zone)
-                                r = (naive, off)
+                                try:
+                                    off = zone_offset_from_utc(
+                                        datetime(y, mo, d, hh, mi, ss),
+                                        zone)
+                                    r = (naive, off)
+                                except ParseFail:  # zone astimezone
+                                    r = None       # overflow -> fallback
                             elif explicit_tz:
-                                r = (naive, off_cfg)
+                                # oracle's astimezone(tz) overflows when
+                                # the offset-shifted wall clock leaves
+                                # year 1..9999 -> both sides must fail
+                                wall = naive + off_cfg * _US
+                                if _MIN_WALL_US <= wall <= _MAX_WALL_US:
+                                    r = (naive, off_cfg)
                             else:
                                 r = (naive - off_cfg * _US, off_cfg)
                 memo_3164ts[key] = r

@@ -57,6 +57,16 @@ def detect_hot_sources(df: DataFrame, fraction: float = 0.25,
 
 
 def _is_hot(cfg: PipelineConfig):
+    if cfg.hot_sources is None:
+        # None means 'auto-measure' (config.py): run_pipeline resolves it
+        # via detect_hot_sources before routing.  Reaching this point with
+        # None (e.g. calling route_write / salted_source directly, or a
+        # streaming foreachBatch built from an unresolved config) would
+        # silently DISABLE skew protection — fail loudly instead.
+        raise ValueError(
+            "hot_sources is None ('auto') but detection has not run; call "
+            "detect_hot_sources(df) and pass the result (or an explicit "
+            "tuple — () disables salting deliberately)")
     if not cfg.hot_sources:
         return F.lit(False)
     return F.col("source").isin(*cfg.hot_sources)

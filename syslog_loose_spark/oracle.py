@@ -352,20 +352,36 @@ def zone_earliest(naive: datetime, zone) -> Optional[datetime]:
     in an IANA zone: ambiguous (fall-back) times resolve to the
     pre-transition offset (PEP 495 fold=0); nonexistent (spring-forward
     gap) times return None — the caller fails the parse, exactly like
-    make_timestamp's ``.ok_or("invalid date")`` (timestamp.rs:106-112)."""
+    make_timestamp's ``.ok_or("invalid date")`` (timestamp.rs:106-112).
+
+    OverflowError (the zone-shifted wall clock leaves Python's
+    year-1..9999 datetime range) is also a parse failure, never a crash —
+    the same policy as the documented >9999-year deviation.  chrono would
+    parse these (its range is ±262143); see COVERAGE.md."""
     d0 = naive.replace(tzinfo=zone, fold=0)
     d1 = naive.replace(tzinfo=zone, fold=1)
     if d0.utcoffset() < d1.utcoffset():
         return None  # DST gap: the local time does not exist
     # fixed-offset view of the instant (datetime.offset().fix())
-    return d0.astimezone(timezone(d0.utcoffset()))
+    try:
+        return d0.astimezone(timezone(d0.utcoffset()))
+    except OverflowError:
+        return None
 
 
 def zone_offset_from_utc(naive: datetime, zone) -> int:
     """chrono ``tz.offset_from_utc_datetime(&naive)`` analogue: the zone's
-    UTC offset in seconds at the instant naive-interpreted-as-UTC."""
+    UTC offset in seconds at the instant naive-interpreted-as-UTC.
+
+    Raises ParseFail when the zone conversion overflows Python's datetime
+    range (e.g. Jan 1 year 1 viewed in a west-of-UTC zone, or Dec 31 year
+    9999 in an east-of-UTC zone): overflow = parse failure, never a crash,
+    mirroring the documented >9999-year deviation from chrono."""
     inst = naive.replace(tzinfo=timezone.utc)
-    return int(inst.astimezone(zone).utcoffset().total_seconds())
+    try:
+        return int(inst.astimezone(zone).utcoffset().total_seconds())
+    except OverflowError:
+        raise ParseFail("zone conversion outside datetime range")
 
 
 def _timestamp_3164(s: str, cfg: ParseConfig) -> Tuple[str, Optional[datetime]]:
@@ -417,6 +433,11 @@ def _timestamp_3164(s: str, cfg: ParseConfig) -> Tuple[str, Optional[datetime]]:
             return rest, naive.replace(tzinfo=timezone.utc).astimezone(tz)
         return rest, naive.replace(tzinfo=tz)  # Local pinned to UTC
     except ParseFail:
+        pass
+    except OverflowError:
+        # wall clock at the attached offset leaves year 1..9999 (e.g.
+        # 'Dec 31 9999 23:59:59' at +09:00): overflow = parse failure,
+        # never a crash — same policy as the >9999-year deviation.
         pass
     # branch 3: full RFC3339 inside a 3164 envelope (tests/tests.rs:693-725)
     return _timestamp_3339(s)

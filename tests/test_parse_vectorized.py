@@ -169,6 +169,21 @@ ADVERSARIAL = [
     "<34>Dec 28 0000002008 16:49:07 h a: m",           # 0-padded year
     "<34>Dec 28 16:49:07 app[" + "0" * 4400 + "9]: m",
     "<034>Oct 11 22:14:15 h a: m",
+    # datetime-range boundaries: with-year timestamps whose offset-shifted
+    # wall clock leaves Python's year 1..9999 range (e.g. year 1 in a
+    # west-of-UTC zone, year 9999 in an east-of-UTC zone) must be a parse
+    # FAILURE on both engine and oracle, never an OverflowError crash.
+    # chrono (range ±262143) parses these — documented deviation.
+    "<34>Jan 1 0001 00:00:00 h a: m",
+    "<34>Jan  1 0001 00:00:00 host app[1]: m",
+    "<34>Dec 31 9999 23:59:59 h a: m",
+    "<34>Dec 31 9999 23:59:59 host app: m",
+    "<34>Jan 2 0001 00:00:00 h a: m",       # one day in: parses at -5h
+    "<34>Dec 30 9999 23:59:59 h a: m",      # one day back: parses at +9h
+    "<34>1 0001-01-01T00:00:00Z h a - - - min 3339",
+    "<34>1 9999-12-31T23:59:59.999999Z h a - - - max 3339",
+    "<34>1 0001-01-01T00:00:00+09:00 h a - - - min 3339 east",
+    "<34>1 9999-12-31T23:59:59-05:00 h a - - - max 3339 west",
 ]
 
 
@@ -243,6 +258,31 @@ NY = "America/New_York"
 def test_named_tz_differential():
     check_rows(ADVERSARIAL, ParseConfig(tz_name=NY))
     check_rows([line for _, line in GOLDEN_CORPUS], ParseConfig(tz_name=NY))
+
+
+def test_named_tz_differential_east():
+    """East-of-UTC named zone: year-9999 with-year rows overflow the other
+    edge of the datetime range (ADVICE r2 high finding)."""
+    check_rows(ADVERSARIAL, ParseConfig(tz_name="Asia/Tokyo"))
+
+
+def test_year_boundary_fallback_never_crashes():
+    """The four ADVICE r2 reproducers: engine == oracle == fallback row."""
+    rows = ["<34>Jan 1 0001 00:00:00 h a: m",
+            "<34>Dec 31 9999 23:59:59 h a: m"]
+    for cfg in (ParseConfig(tz_name=NY), ParseConfig(tz_name="Asia/Tokyo"),
+                ParseConfig(tz_offset_seconds=9 * 3600),
+                ParseConfig(tz_offset_seconds=-5 * 3600),
+                ParseConfig(tz_offset_seconds=14 * 3600),
+                ParseConfig(tz_offset_seconds=-14 * 3600),
+                ParseConfig()):
+        check_rows(rows, cfg)
+    # the overflow direction matters: each boundary row still PARSES when
+    # the offset shifts the wall clock INTO range
+    cols = parse_lines(rows, rows, ParseConfig(tz_offset_seconds=9 * 3600))
+    assert cols[13][0] is True and cols[13][1] is False
+    cols = parse_lines(rows, rows, ParseConfig(tz_offset_seconds=-5 * 3600))
+    assert cols[13][0] is False and cols[13][1] is True
 
 
 def test_named_tz_semantics():

@@ -231,3 +231,28 @@ def test_fuzz_differential_dst_edges(s):
     cfg = ParseConfig(tz_name="America/New_York")
     cols = parse_lines([s], [s], cfg)
     assert _msg_eq(parse_message(s, cfg), cols, 0), s
+
+
+# alphabet biased to emit with-year timestamps near the datetime range
+# boundaries (years built from 0/1/9): offset-shifted wall clocks outside
+# year 1..9999 must be a parse failure on BOTH sides, never a crash
+# (ADVICE r2: OverflowError in zone_offset_from_utc / astimezone paths)
+BOUNDARYISH = list("JanDec 019:<>ha")
+
+
+@settings(max_examples=1200, deadline=None)
+@given(st.text(alphabet=BOUNDARYISH, max_size=40),
+       st.sampled_from(["America/New_York", "Asia/Tokyo"]))
+def test_fuzz_differential_year_boundaries_named_tz(s, tz):
+    cfg = ParseConfig(tz_name=tz)
+    cols = parse_lines([s], [s], cfg)
+    assert _msg_eq(parse_message(s, cfg), cols, 0), s
+
+
+@settings(max_examples=1200, deadline=None)
+@given(st.text(alphabet=BOUNDARYISH, max_size=40),
+       st.sampled_from([-14 * 3600, -5 * 3600, 9 * 3600, 14 * 3600]))
+def test_fuzz_differential_year_boundaries_fixed_tz(s, off):
+    cfg = ParseConfig(tz_offset_seconds=off)
+    cols = parse_lines([s], [s], cfg)
+    assert _msg_eq(parse_message(s, cfg), cols, 0), s

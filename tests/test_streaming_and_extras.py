@@ -354,3 +354,41 @@ def test_ivf_topk_recall_and_exactness_limit(spark):
             for r in S.ivf_topk(emb, q, n_cells=8, n_probe=2, k=3)
             .collect()}
     assert len(some) > 0
+
+
+def test_persist_registry_bounded_and_releasable(spark):
+    """ADVICE r2: near-dup operators' cached relations must not accumulate
+    across many queries in a long-lived session.  The tracked registry
+    keeps at most _MAX_LIVE live caches and unpersist_tracked drops all."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(30)
+    D.unpersist_tracked()
+    for _ in range(3):
+        D.ngram_jaccard_pairs(docs, threshold=0.9).count()
+        D.simhash_near_dups(docs).count()
+    assert len(D._PERSISTED) <= D._MAX_LIVE
+    assert D.unpersist_tracked() <= D._MAX_LIVE
+    assert not D._PERSISTED
+    # a second call is a no-op
+    assert D.unpersist_tracked() == 0
+
+
+def test_unresolved_auto_salting_fails_loudly(spark, tmp_path):
+    """ADVICE r2: hot_sources=None ('auto') reaching the router directly
+    (outside run_pipeline, e.g. a hand-built streaming writer) must raise,
+    not silently disable skew protection."""
+    import pytest as _pytest
+
+    from syslog_loose_spark.operators.route import _is_hot, salted_source
+    from syslog_loose_spark.streaming.stream import foreach_batch_writer
+
+    auto = PipelineConfig(hot_sources=None)
+    with _pytest.raises(ValueError, match="auto"):
+        _is_hot(auto)
+    with _pytest.raises(ValueError, match="auto"):
+        salted_source(auto)
+    with _pytest.raises(ValueError, match="auto"):
+        foreach_batch_writer(str(tmp_path), auto)
+    # () is the deliberate off switch and a concrete tuple still works
+    assert _is_hot(PipelineConfig(hot_sources=())) is not None
+    assert _is_hot(PipelineConfig(hot_sources=("nginx",))) is not None
