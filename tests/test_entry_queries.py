@@ -75,3 +75,37 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sink" in df.columns
+
+
+def test_registry_counts_consistent():
+    """queries() and oracle_sql() must stay key-for-key identical, and the
+    README's advertised count must match — the r2 VERDICT staleness class
+    (docs said 37, registry had 38) cannot recur silently."""
+    assert set(QUERIES) == set(ORACLES), (
+        set(QUERIES) ^ set(ORACLES))
+    import re
+
+    readme = open(os.path.join(os.path.dirname(entry_mod.__file__),
+                               "README.md")).read()
+    m = re.search(r"driver contract: (\d+) queries, ALL (\d+)", readme)
+    assert m, "README count line missing"
+    assert int(m.group(1)) == len(QUERIES) == int(m.group(2)), (
+        f"README says {m.group(1)}/{m.group(2)}, registry has "
+        f"{len(QUERIES)}")
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    """Beyond the sketch accuracy the GK guarantee is rank error
+    <= n/accuracy: force compression with a tiny accuracy and check the
+    returned value's true rank sits within the bound (with the sketch's
+    own slack factor of 2 for merged summaries)."""
+    from pyspark.sql import functions as F
+
+    n, acc, p = 4000, 50, 0.5
+    df = spark.range(n).select(
+        (F.col("id").cast("double") * 1.7 % 997).alias("v"))
+    got = df.agg(F.expr(f"approx_percentile(v, {p}, {acc})")).collect()[0][0]
+    vals = sorted(r["v"] for r in df.collect())
+    rank = vals.index(got) + 1
+    bound = 2.0 * n / acc + 1
+    assert abs(rank - p * n) <= bound, (rank, p * n, bound)

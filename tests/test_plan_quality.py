@@ -160,3 +160,21 @@ def test_bucketed_route_write_enables_shuffle_free_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE IF EXISTS routed_a")
     spark.sql("DROP TABLE IF EXISTS routed_b")
+
+
+def test_top_users_partial_topk_not_global_window(spark):
+    """events_top_users must compile to TakeOrderedAndProject (per-partition
+    partial top-k), not a global unpartitioned Window over every user total
+    — the single-reducer sort dies at 100x user cardinality.  The rank
+    window that remains must sit ABOVE the limit (bounded 20-row input)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["events_top_users"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Window node's subtree must contain the TakeOrdered (i.e. windowed
+    # input is the already-limited frame, not the raw totals)
+    win_at = plan.find("Window")
+    topk_at = plan.find("TakeOrderedAndProject")
+    assert win_at != -1 and topk_at != -1 and win_at < topk_at, plan

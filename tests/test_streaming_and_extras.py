@@ -392,3 +392,25 @@ def test_unresolved_auto_salting_fails_loudly(spark, tmp_path):
     # () is the deliberate off switch and a concrete tuple still works
     assert _is_hot(PipelineConfig(hot_sources=())) is not None
     assert _is_hot(PipelineConfig(hot_sources=("nginx",))) is not None
+
+
+def test_ivf_topk_scales_to_hundreds_of_cells(spark):
+    """r2 VERDICT: centroids must ship as a broadcast relation, not plan
+    literals (O(n_cells x dim) in the plan tree).  n_cells=256 over the
+    500-vector table must run, stay a superset-consistent approximation,
+    and degrade to brute-force equality at n_probe == n_cells."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["rank"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, q, n_cells=256, n_probe=256, k=3)
+            .collect()}
+    assert full == exact
+    df = S.ivf_topk(emb, q, n_cells=256, n_probe=16, k=3)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # no literal centroid blobs: the plan tree must stay small even at
+    # 256 cells x 64 dims (literal arrays made it O(n_cells x dim))
+    assert len(plan) < 200_000, len(plan)
