@@ -146,6 +146,14 @@ GOLDEN_CORPUS: List[Tuple[str, str]] = [
     # hostname token '-:' — the trailing ':' splits back BEFORE the NILVALUE
     # check, so the literal hostname is '-' (parsers.rs:46-54)
     ("host_dash_colon_3164", "<34>Oct 11 22:14:15 -: a message"),
+    # leap second: chrono parse_from_rfc3339 (timestamp.rs:14-22) accepts
+    # ':60'; Spark/DuckDB timestamps cannot represent a 61st second, so
+    # engine AND oracle reject identically -> fallback row (documented
+    # deviation, COVERAGE.md)
+    ("leap_second_5424",
+     "<34>1 2016-12-31T23:59:60Z host app - - - leap second msg"),
+    ("leap_second_3164_3339ts",
+     "<34>2016-12-31T23:59:60.5Z host app: leap in 3164 envelope"),
 ]
 
 # Deterministic skewed source assignment: ~60% nginx plus a long tail.

@@ -2,19 +2,32 @@
 
 Media payloads are opaque ``binary`` columns plus typed metadata; the
 Spark-side machinery (schema, Arrow batching, mapInPandas signatures,
-partition-friendly passthrough) is real and tested.  The actual codec work
-is STUBBED: the sandbox has no image/audio libraries, so ``decode_image``
-raises NotImplementedError unless given the deterministic fake header
-format produced by ``fake_media``, which tests use to exercise the full
-path end-to-end.
+partition-friendly passthrough) is real and tested.  Codec support is
+layered (r2 VERDICT item 3):
+
+1. real container formats — PNG / JPEG / GIF / BMP dimensions are parsed
+   straight from their headers with pure stdlib (no Pillow needed), so
+   feature extraction works on genuine image bytes in any environment;
+2. Pillow, when importable, decodes/resizes anything it can open (the
+   production full-decode path — detected at import, never required);
+3. the deterministic FAKE format keeps the full Spark path exercisable
+   end-to-end in codec-less sandboxes.
+
+Payloads matching none of these raise NotImplementedError — a clearly
+marked integration point, not a silent wrong answer.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
+
+try:  # optional full-decode path — detected, never required
+    from PIL import Image as _PIL_Image  # type: ignore
+except Exception:  # pragma: no cover - Pillow absent in this sandbox
+    _PIL_Image = None
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -46,15 +59,67 @@ def fake_media(media_id: int, kind: str, w: int, h: int) -> bytes:
     return _MAGIC + struct.pack("<II", w, h) + body
 
 
+# JPEG start-of-frame markers that carry dimensions (SOF0..SOF15 minus
+# DHT/DAC/JPG at C4/C8/CC)
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def header_dims(payload: bytes) -> Optional[Tuple[int, int]]:
+    """(width, height) parsed from a real container header with pure
+    stdlib, or None when the format is not recognized.  Handles PNG
+    (IHDR), JPEG (first SOFn segment), GIF (logical screen descriptor)
+    and BMP (BITMAPINFOHEADER); no external codec library involved."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return w, abs(h)  # negative height = top-down DIB
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF
+        i = 2
+        n = len(payload)
+        while i + 9 <= n:
+            if payload[i] != 0xFF:
+                return None  # corrupt stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+            i += 2 + seg_len
+    return None
+
+
 def decode_image(payload: bytes):
-    """STUB decode: real codecs are unavailable in this container.  Only
-    the deterministic fake format is supported; anything else raises, as a
-    clearly-marked integration point for PIL/ffmpeg in production."""
-    if payload[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real image decoding requires PIL/ffmpeg — not in this sandbox")
-    w, h = struct.unpack("<II", payload[4:12])
-    return w, h
+    """(width, height) of an image payload.  Layered: stdlib header parse
+    for real PNG/JPEG/GIF/BMP bytes; Pillow full decode when installed;
+    the deterministic FAKE format for codec-less test environments.
+    Unknown formats raise — a marked integration point, never a silent
+    wrong answer."""
+    if payload[:4] == _MAGIC:
+        w, h = struct.unpack("<II", payload[4:12])
+        return w, h
+    dims = header_dims(payload)
+    if dims is not None:
+        return dims
+    if _PIL_Image is not None:
+        import io
+
+        with _PIL_Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height
+    raise NotImplementedError(
+        "unrecognized image container (not PNG/JPEG/GIF/BMP/FAKE) and "
+        "Pillow is not installed")
 
 
 def media_table(spark, n: int = 64) -> DataFrame:
@@ -120,13 +185,23 @@ FRAME_SCHEMA = StructType([
 
 
 def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
-    """Deterministic nearest-neighbor 'resize' of a fake-format payload:
-    new header dims + the body resampled to the new body length.  A real
-    codec slots in here (PIL.Image.resize) — the Spark-side plumbing
-    (schema, Arrow batching, per-batch loop) is identical."""
+    """Resize an image payload.  Pillow path when installed (real decode,
+    LANCZOS-free nearest resize for determinism, re-encoded as PNG);
+    otherwise the deterministic FAKE-format resample keeps the Spark-side
+    plumbing (schema, Arrow batching, per-batch loop) fully exercised.
+    Header-only parsing cannot resize, so real bytes without Pillow
+    raise — a marked integration point."""
     if payload[:4] != _MAGIC:
+        if _PIL_Image is not None:
+            import io
+
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                out = io.BytesIO()
+                im.resize((new_w, new_h),
+                          _PIL_Image.Resampling.NEAREST).save(out, "PNG")
+                return out.getvalue()
         raise NotImplementedError(
-            "real image resizing requires PIL/ffmpeg — not in this sandbox")
+            "real image resizing requires Pillow — not installed here")
     body = payload[12:]
     new_len = new_w * new_h % 64 + 16
     out = bytes(body[(i * len(body)) // new_len] for i in range(new_len))

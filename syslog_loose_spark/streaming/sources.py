@@ -107,3 +107,106 @@ def stream_rate_synthetic(spark: SparkSession,
         F.size(toks).cast("int").alias("n_tok"),
         source.alias("source"),
     )
+
+
+class UdpToSocketBridge:
+    """UDP datagram ingestion bridged into Spark's TCP socket source.
+
+    Structured Streaming has no built-in UDP source (the socket source is
+    a TCP *client*), but the reference's server example binds a UDP socket
+    and parses one datagram per loop (examples/server/main.rs:16-29).
+    This bridge reproduces that ingestion surface Spark-natively: syslog
+    datagrams arriving on the UDP port are framed as newline-terminated
+    lines (one message per datagram, RFC 5426 §3.1; a datagram that
+    itself contains newlines will be split into multiple rows by the TCP
+    line framing — no escaping is attempted) and fanned out to every
+    connected TCP client, i.e. exactly the stream
+    ``stream_socket_lines(spark, port=bridge.tcp_port)`` consumes.
+
+    In production this role is played by any syslog relay (rsyslog,
+    vector, fluent-bit) writing to Kafka/files; the bridge keeps the
+    repo's UDP story self-contained and testable with stdlib only.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", udp_port: int = 0,
+                 tcp_port: int = 0):
+        import socket as _socket
+        import threading as _threading
+
+        self._sock_mod = _socket
+        self._threading = _threading
+        self.host = host
+        self._udp = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        self._udp.bind((host, udp_port))
+        self.udp_port = self._udp.getsockname()[1]
+        self._tcp = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        self._tcp.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self._tcp.bind((host, tcp_port))
+        self.tcp_port = self._tcp.getsockname()[1]
+        self._tcp.listen(8)
+        self._clients: list = []
+        self._lock = _threading.Lock()
+        self._stop = _threading.Event()
+        self._threads: list = []
+
+    def _accept_loop(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._tcp.accept()
+            except OSError:
+                return
+            with self._lock:
+                self._clients.append(conn)
+
+    def _udp_loop(self):
+        while not self._stop.is_set():
+            try:
+                data, _ = self._udp.recvfrom(65535)
+            except OSError:
+                return
+            line = data.rstrip(b"\n") + b"\n"
+            with self._lock:
+                live = []
+                for c in self._clients:
+                    try:
+                        c.sendall(line)
+                        live.append(c)
+                    except OSError:
+                        c.close()
+                self._clients = live
+
+    def start(self) -> "UdpToSocketBridge":
+        for fn in (self._accept_loop, self._udp_loop):
+            t = self._threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        for s in (self._udp, self._tcp):
+            try:
+                s.close()
+            except OSError:
+                pass
+        with self._lock:
+            for c in self._clients:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            self._clients = []
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def stream_udp_datagrams(spark: SparkSession,
+                         bridge: "UdpToSocketBridge",
+                         source: str = "udp") -> DataFrame:
+    """Tokenized stream of the datagrams a running UdpToSocketBridge
+    receives — the end-to-end analogue of the reference's UDP server."""
+    return stream_socket_lines(spark, bridge.host, bridge.tcp_port, source)
