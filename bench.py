@@ -214,6 +214,67 @@ def kernel_scaling(cpus: int, rows_per_proc: int = 300_000) -> dict:
     return out
 
 
+def heavy_near_dup_bench(spark) -> dict:
+    """Larger-scale datapoints for the two banded-join operators (r2
+    VERDICT item 7): synthetic hash-derived corpora far past the sf0.1
+    table sizes, so the bucket self-join — not fixed overhead — dominates.
+    Every 100th row is a planted near-dup of its predecessor; the planted
+    count doubles as a recall sanity check recorded next to the timing.
+    Deterministic (xxhash64/md5 of the row id), no external data."""
+    from pyspark.sql import functions as F
+
+    from syslog_loose_spark.functions.dedup import (
+        simhash_near_dups, unpersist_tracked)
+    from syslog_loose_spark.functions.similarity import (
+        embedding_near_dups, plane_bands)
+
+    def synth_docs(n):
+        base = (F.when(F.col("doc_id") % 100 == 99, F.col("doc_id") - 1)
+                .otherwise(F.col("doc_id")))
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.substring(
+                F.md5(F.concat_ws("-", base.cast("string"),
+                                  j.cast("string"))), 1, 6))
+        text = F.concat_ws(" ", F.when(
+            F.col("doc_id") % 100 == 99,
+            F.concat(words, F.array(F.lit("tail")))).otherwise(words))
+        return spark.range(n).select(F.col("id").alias("doc_id"),
+                                     text.alias("text"))
+
+    def synth_emb(n, dim=64):
+        base = (F.when(F.col("vec_id") % 100 == 99, F.col("vec_id") - 1)
+                .otherwise(F.col("vec_id")))
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.pmod(F.xxhash64(base * dim + j.cast("long")),
+                              F.lit(1000)).cast("double") / 500.0 - 1.0))
+        return spark.range(n).select(F.col("id").alias("vec_id"),
+                                     vec.alias("embedding"))
+
+    out: dict = {}
+    n_docs = 200_000
+    t0 = time.perf_counter()
+    pairs = simhash_near_dups(synth_docs(n_docs), max_hamming=3,
+                              bands=4).count()
+    out["simhash_near_dups_200k_docs"] = {
+        "sec": round(time.perf_counter() - t0, 3), "rows": n_docs,
+        "pairs": int(pairs)}
+    unpersist_tracked()
+    n_vecs = 80_000
+    # 10 planes/band: bucket occupancy ~ n/2^planes must stay under the
+    # bucket cap — plane count scales with corpus size (see similarity.py)
+    planes = plane_bands(n_bands=2, n_planes=10, dim=64)
+    t0 = time.perf_counter()
+    pairs = embedding_near_dups(synth_emb(n_vecs), threshold=0.95,
+                                planes=planes).count()
+    out["embedding_near_dups_80k_vecs"] = {
+        "sec": round(time.perf_counter() - t0, 3), "rows": n_vecs,
+        "pairs": int(pairs), "planted": n_vecs // 100}
+    unpersist_tracked()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -265,6 +326,12 @@ def main() -> None:
         # storage must not accumulate across the suite (ADVICE r2)
         from syslog_loose_spark.functions.dedup import unpersist_tracked
         unpersist_tracked()
+
+    heavy = None
+    if os.environ.get("SPARK_GRAFT_SKIP_HEAVY") != "1":
+        heavy = heavy_near_dup_bench(spark)
+        for k, v in heavy.items():
+            results[k] = v["sec"]
     spark.stop()
 
     os.sync()
@@ -315,6 +382,8 @@ def main() -> None:
         out["scaling"] = scaling
     if kernel:
         out["scaling_parse_kernel"] = kernel
+    if heavy:
+        out["heavy_near_dup"] = heavy
     print(json.dumps(out))
 
 

@@ -110,11 +110,34 @@ def _is_vector(x) -> bool:
 
 def plane_bands(n_bands: int = 2, n_planes: int = 4, dim: int = 64,
                 seed: int = 17):
-    """Deterministic ±1 hyperplane bands — pure arithmetic so the DuckDB
-    oracles can regenerate the identical planes."""
-    return [[[(1.0 if (b * seed + i * 13 + j * 7) % 5 < 2 else -1.0)
-              for j in range(dim)] for i in range(n_planes)]
-            for b in range(n_bands)]
+    """Deterministic balanced ±1 hyperplane bands, md5-derived.
+
+    Signs come from md5 digest bits, so planes are unbiased and mutually
+    independent — the previous linear-congruence pattern produced heavily
+    correlated planes (measured: at 20k vectors only 32 of 1024 possible
+    10-plane buckets were populated, occupancy blew past the bucket cap
+    and candidate recall collapsed).  Balanced planes keep bucket
+    occupancy ~n/2^planes, which is what makes the cap a guard instead
+    of a recall cliff at scale.  The generated lists are embedded as
+    literals in both the Spark plan and the DuckDB oracle SQL, so the
+    two sides stay identical by construction."""
+    import hashlib
+
+    out = []
+    for b in range(n_bands):
+        band = []
+        for i in range(n_planes):
+            bits: list = []
+            k = 0
+            while len(bits) < dim:
+                d = hashlib.md5(f"{seed}:{b}:{i}:{k}".encode()).digest()
+                for byte in d:
+                    for t in range(8):
+                        bits.append(1.0 if (byte >> t) & 1 else -1.0)
+                k += 1
+            band.append(bits[:dim])
+        out.append(band)
+    return out
 
 
 def _as_bands(planes):
