@@ -1062,6 +1062,69 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, k=8, bands=4).orderBy("a", "b")
 
 
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated Jaccard for LSH candidate pairs — similarity at
+    100 TB without the shingle self-join (O(pairs x k) signature
+    agreement; the estimator's expectation is the true Jaccard)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.minhash_jaccard_estimate(docs, k=8, bands=4).orderBy("a", "b")
+
+
+def _oracle_minhash_jaccard_est() -> str:
+    a, b = D._coeffs(8)
+    # identical CTE chain to _oracle_minhash_lsh, plus per-pair
+    # signature agreement
+    mh = ",\n       ".join(
+        f"list_min([(h * {a[i]} + {b[i]}) % {D.MERSENNE} for h in hs])"
+        f" AS mh{i}" for i in range(8))
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id AS id, {bi} AS band, "
+        f"concat(CAST(mh{2 * bi} AS VARCHAR), ',', "
+        f"CAST(mh{2 * bi + 1} AS VARCHAR)) AS key FROM sig"
+        for bi in range(4))
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(8))
+    return f"""
+WITH {_shingle_hash_cte('WHERE doc_id < 200').strip()},
+sig AS (SELECT doc_id, {mh} FROM h),
+banded AS ({bands}),
+ok AS (SELECT band, key FROM banded GROUP BY band, key
+       HAVING COUNT(*) <= 1000),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band, key)),
+pairs AS (SELECT DISTINCT x.id AS a, y.id AS b
+          FROM capped x JOIN capped y USING (band, key)
+          WHERE x.id < y.id)
+SELECT pairs.a, pairs.b,
+       ROUND(({agree}) / 8.0, 4) AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = pairs.a
+JOIN sig sb ON sb.doc_id = pairs.b
+ORDER BY a, b
+"""
+
+
+def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: document frequency of whitespace terms,
+    top 20 — explode + hash-agg + partial top-k (TakeOrderedAndProject),
+    the canonical corpus-statistics shape at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), " ")))
+         .alias("term"))
+    return (terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), "term").limit(20))
+
+
+def _oracle_term_doc_freq() -> str:
+    return """
+SELECT term, COUNT(*) AS df FROM (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents)
+GROUP BY term ORDER BY df DESC, term LIMIT 20
+"""
+
+
 def _oracle_minhash_lsh() -> str:
     a, b = D._coeffs(8)
     mh = ",\n       ".join(
@@ -1559,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "multimodal_bytes": q_multimodal_bytes,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "term_doc_freq": q_term_doc_freq,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1603,6 +1668,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _oracle_embedding_norms(),
         "multimodal_bytes": _oracle_multimodal_bytes(),
         "minhash_lsh_candidates": _oracle_minhash_lsh(),
+        "minhash_jaccard_est": _oracle_minhash_jaccard_est(),
+        "term_doc_freq": _oracle_term_doc_freq(),
         "simhash": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "ann_lsh_topk": _oracle_ann_lsh(),

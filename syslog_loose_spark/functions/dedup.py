@@ -236,6 +236,33 @@ _SIMHASH_BITS = [(0 if j < 32 else 1, 1 << (j % 32)) for j in range(64)]
 _SIMHASH_OUT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
 
+def minhash_jaccard_estimate(df: DataFrame, k: int = 8, bands: int = 4,
+                             n: int = 3, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_bucket_size: int = 1000) -> DataFrame:
+    """Sketch-based similarity for LSH candidate pairs: estimate Jaccard
+    as the fraction of agreeing MinHash components (the estimator's
+    expectation IS the Jaccard).  This is the 100-TB similarity path —
+    O(pairs x k) signature comparisons instead of the shingle self-join's
+    O(pairs x shingles); the exact ngram_jaccard_pairs stays as the
+    ground-truth oracle for recall studies at small scale."""
+    cands = minhash_lsh_candidates(df, k, bands, n, text_col, id_col,
+                                   max_bucket_size)
+    sig = minhash_signature_df(df, k, n, text_col, id_col)
+    return (
+        cands
+        .join(sig.withColumnRenamed("id", "a")
+                 .withColumnRenamed("sig", "sa"), "a")
+        .join(sig.withColumnRenamed("id", "b")
+                 .withColumnRenamed("sig", "sb"), "b")
+        .withColumn("est_jaccard", F.round(
+            F.size(F.filter(
+                F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+                lambda v: v)) / F.lit(float(k)), 4))
+        .select("a", "b", "est_jaccard")
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over words: bit_j = sign of sum over words of
     (bit_j(h(w)) ? +1 : -1), h = md5 split into two 32-bit halves.

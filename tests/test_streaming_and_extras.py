@@ -541,3 +541,28 @@ def test_udp_bridge_end_to_end(spark):
             assert r["source"] == "udp"
             seen.add(r["msg"])
     assert seen == set(by_msg), (len(seen), len(by_msg), sent_rounds)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The sketch estimator's error must be bounded: for exact duplicates
+    est == 1.0, and across candidate pairs |est - jaccard| <= 0.5 with
+    k=8 components (binomial sd ~0.17 at j=0.5; 0.5 is a ~3-sigma gate)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(120)
+    dup = docs.union(docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        "source", "n_chars"))
+    est = {(r["a"], r["b"]): r["est_jaccard"] for r in
+           D.minhash_jaccard_estimate(dup, k=8, bands=4).collect()}
+    exact = {(r["a"], r["b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(dup, threshold=0.0).collect()}
+    D.unpersist_tracked()
+    n = docs.count()
+    for i in range(n):
+        assert est.get((i, i + 100000)) == 1.0, i
+    checked = 0
+    for pair, e in est.items():
+        j = exact.get(pair, 0.0)
+        assert abs(e - j) <= 0.5, (pair, e, j)
+        checked += 1
+    assert checked >= n
