@@ -178,3 +178,13 @@ def test_top_users_partial_topk_not_global_window(spark):
     win_at = plan.find("Window")
     topk_at = plan.find("TakeOrderedAndProject")
     assert win_at != -1 and topk_at != -1 and win_at < topk_at, plan
+
+
+def test_term_doc_freq_partial_topk(spark):
+    """Corpus term stats must rank via TakeOrderedAndProject, never a
+    global sort of the full term dictionary."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["term_doc_freq"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
