@@ -154,6 +154,30 @@ GOLDEN_CORPUS: List[Tuple[str, str]] = [
      "<34>1 2016-12-31T23:59:60Z host app - - - leap second msg"),
     ("leap_second_3164_3339ts",
      "<34>2016-12-31T23:59:60.5Z host app: leap in 3164 envelope"),
+    # round-3 verbatim-parity sweep: reference-suite inputs that had only
+    # shortened/analogous counterparts here before (exact strings now)
+    ("tag_with_pid_3164",                        # rfc3164.rs parse_tag_with_pid
+     "<34>Oct 11 22:14:15 mymachine app[323]: a message"),
+    ("tag_without_pid_3164",                     # rfc3164.rs parse_tag_without_pid
+     "<34>Oct 11 22:14:15 mymachine: a message"),
+    ("rsyslog_plain_start",                      # tests.rs parse_rsyslog
+     "<46>Jan  5 15:33:03 plertrood-ThinkPad-X220 rsyslogd: start"),
+    # timestamp.rs unit fragments wrapped in a minimal 3164 envelope:
+    # single-space single-digit day, with-year variant, bare trailing colon
+    ("ts_single_digit_day",                      # timestamp.rs "Aug 4 16:49:07 "
+     "<34>Aug 4 16:49:07 host app: m"),
+    ("ts_with_year_single_digit_day",            # timestamp.rs "Aug 4 2020 16:49:07 "
+     "<34>Aug 4 2020 16:49:07 host app: m"),
+    ("ts_trailing_colon_no_fields",              # timestamp.rs "Dec 28 16:49:07:"
+     "<34>Dec 28 16:49:07: m"),
+    # rfc3164.rs parse_3164_no_tag_json_msg FULL input (r# raw string: the
+    # backslashes before the quotes are literal input bytes)
+    ("opsaudit_json_full",
+     '<134>Oct 30 16:05:54 opsaudit  {\\"username\\": \\"admin\\", '
+     '\\"ip\\": \\"7.7.7.7\\", \\"type\\": \\"\\", \\"user_agent\\": '
+     '\\"Go-http-client/1.1\\", \\"datetime\\": \\"2020-10-30 16:05:45\\", '
+     '\\"mfa\\": 0, \\"status\\": true, \\"city\\": \\"局域网\\", '
+     '\\"optype\\": \\"user-login\\"}'),
 ]
 
 # Deterministic skewed source assignment: ~60% nginx plus a long tail.
