@@ -159,26 +159,29 @@ def kernel_scaling(cpus: int, rows_per_proc: int = 300_000) -> dict:
 
     Each pool is warmed with a tiny map first so per-worker import and
     allocator setup (which serialize at wide pools) stay out of the timed
-    region; each point is best-of-3."""
+    region; each point is best-of-3 with the reps INTERLEAVED across pool
+    widths (round-robin) so a transient VM load spike cannot land on all
+    three reps of one width and silently skew an N->4N pair."""
     import multiprocessing as mp
 
     lo, hi = max(cpus // 4, 1), cpus
     out = {}
     detail = {}
-    for procs in sorted({1, 2, 4, 8, lo, hi}):
-        if procs > cpus:
-            continue
-        best = None
-        with mp.Pool(procs) as pool:
-            # warm: imports + fixture cache built outside the timed region
-            pool.map(_kernel_work, [rows_per_proc] * procs)
-            for _ in range(3):
+    widths = [p for p in sorted({1, 2, 4, 8, lo, hi}) if p <= cpus]
+    best: dict = {p: None for p in widths}
+    for _round in range(3):
+        for procs in widths:
+            with mp.Pool(procs) as pool:
+                # warm: imports + per-process fixture cache built outside
+                # the timed region (fresh pool per round)
+                pool.map(_kernel_work, [rows_per_proc] * procs)
                 t0 = time.perf_counter()
                 res = pool.map(_kernel_work, [rows_per_proc] * procs)
                 wall = time.perf_counter() - t0
-                if best is None or wall < best[0]:
-                    best = (wall, res)
-        wall, res = best
+            if best[procs] is None or wall < best[procs][0]:
+                best[procs] = (wall, res)
+    for procs in widths:
+        wall, res = best[procs]
         cpu = sum(c for _, c in res)
         worker_wall = sum(w for w, _ in res)
         out[f"seq_per_sec_{procs}p"] = round(procs * rows_per_proc / wall, 1)
@@ -318,14 +321,22 @@ def main() -> None:
         if os.path.isdir(warm_dir):
             queries[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite").save()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
-        # drop caches the near-dup operators persisted for this query —
-        # storage must not accumulate across the suite (ADVICE r2)
+        # best-of-2: single-shot per-query timings on the shared VM swing
+        # 2-3x run-to-run with identical plans; the min of two passes is a
+        # far better estimator of engine cost (the headline e2e is already
+        # best-of-3 in pinned subprocesses)
         from syslog_loose_spark.functions.dedup import unpersist_tracked
-        unpersist_tracked()
+        best = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            # drop caches the near-dup operators persisted for this query —
+            # storage must not accumulate across the suite (ADVICE r2)
+            unpersist_tracked()
+        results[name] = round(best, 3)
 
     heavy = None
     if os.environ.get("SPARK_GRAFT_SKIP_HEAVY") != "1":
