@@ -315,7 +315,9 @@ def main() -> None:
              "dedup_exact", "ngram_jaccard", "minhash_signatures",
              "doc_fingerprint", "text_quality", "lang_id",
              "ann_cosine_topk", "embedding_norms", "bpe_token_count",
-             "simhash_near_dups", "embedding_near_dups")
+             "simhash_near_dups", "embedding_near_dups",
+             "events_quantiles_approx", "term_doc_freq",
+             "minhash_jaccard_est")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
