@@ -184,14 +184,90 @@ FRAME_SCHEMA = StructType([
 ])
 
 
+def _png_chunks(payload: bytes):
+    i = 8
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i:i + 4])
+        typ = payload[i + 4:i + 8]
+        yield typ, payload[i + 8:i + 8 + ln]
+        i += 12 + ln
+
+
+def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
+    """Reverse PNG row filters (None/Sub/Up/Average/Paeth) for 1-byte
+    pixels — the stdlib half of a real PNG decode."""
+    out = bytearray(w * h)
+    stride = w + 1
+    for y in range(h):
+        row = raw[y * stride:(y + 1) * stride]
+        f, cur = row[0], row[1:]
+        base = y * w
+        for x in range(w):
+            a = out[base + x - 1] if x > 0 else 0           # left
+            b = out[base - w + x] if y > 0 else 0           # up
+            c = out[base - w + x - 1] if x > 0 and y > 0 else 0
+            v = cur[x]
+            if f == 1:
+                v += a
+            elif f == 2:
+                v += b
+            elif f == 3:
+                v += (a + b) // 2
+            elif f == 4:                                     # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v += a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[base + x] = v & 0xFF
+    return out
+
+
+def _png_gray8_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL stdlib PNG resize for 8-bit grayscale, non-interlaced images:
+    zlib-inflate, unfilter, nearest-neighbor resample, re-encode.
+    Returns None-equivalent by raising ValueError for unsupported PNG
+    color types (caller falls through to Pillow / NotImplementedError)."""
+    import binascii
+    import zlib
+
+    ihdr = payload[16:29]
+    w, h = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if (bit_depth, color_type, interlace) != (8, 0, 0):
+        raise ValueError("only 8-bit grayscale non-interlaced PNGs")
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    px = _png_unfilter(zlib.decompress(idat), w, h)
+    res = bytearray()
+    for y in range(new_h):
+        sy = y * h // new_h
+        res.append(0)  # filter: None
+        res.extend(px[sy * w + (x * w // new_w)] for x in range(new_w))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        raw = typ + data
+        return (struct.pack(">I", len(data)) + raw
+                + struct.pack(">I", binascii.crc32(raw) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", new_w, new_h,
+                                         8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(res)))
+            + chunk(b"IEND", b""))
+
+
 def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
-    """Resize an image payload.  Pillow path when installed (real decode,
-    LANCZOS-free nearest resize for determinism, re-encoded as PNG);
-    otherwise the deterministic FAKE-format resample keeps the Spark-side
-    plumbing (schema, Arrow batching, per-batch loop) fully exercised.
-    Header-only parsing cannot resize, so real bytes without Pillow
-    raise — a marked integration point."""
+    """Resize an image payload.  Layered like decode_image: REAL stdlib
+    resize for 8-bit grayscale PNGs (inflate → unfilter → nearest
+    resample → re-encode); Pillow for anything else it can open, when
+    installed; the deterministic FAKE-format resample for codec-less
+    environments.  Remaining real formats without Pillow raise — a
+    marked integration point."""
     if payload[:4] != _MAGIC:
+        if (payload[:8] == b"\x89PNG\r\n\x1a\n"
+                and payload[12:16] == b"IHDR"):
+            try:
+                return _png_gray8_resize(payload, new_w, new_h)
+            except ValueError:
+                pass  # unsupported PNG flavor -> Pillow fallback
         if _PIL_Image is not None:
             import io
 
@@ -201,7 +277,8 @@ def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
                           _PIL_Image.Resampling.NEAREST).save(out, "PNG")
                 return out.getvalue()
         raise NotImplementedError(
-            "real image resizing requires Pillow — not installed here")
+            "real image resizing beyond grayscale PNG requires Pillow — "
+            "not installed here")
     body = payload[12:]
     new_len = new_w * new_h % 64 + 16
     out = bytes(body[(i * len(body)) // new_len] for i in range(new_len))

@@ -566,3 +566,73 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         assert abs(e - j) <= 0.5, (pair, e, j)
         checked += 1
     assert checked >= n
+
+
+def _png_filtered_bytes(w, h, filt):
+    """Real PNG with a chosen row filter — exercises the unfilter path."""
+    import binascii
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        raw = typ + data
+        return (st.pack(">I", len(data)) + raw
+                + st.pack(">I", binascii.crc32(raw) & 0xFFFFFFFF))
+
+    # pixel (x, y) = (x * 3 + y * 11) & 0xFF — a deterministic gradient
+    px = [[(x * 3 + y * 11) & 0xFF for x in range(w)] for y in range(h)]
+    rows = bytearray()
+    for y in range(h):
+        rows.append(filt)
+        for x in range(w):
+            a = px[y][x - 1] if x > 0 else 0
+            b = px[y - 1][x] if y > 0 else 0
+            c = px[y - 1][x - 1] if x > 0 and y > 0 else 0
+            v = px[y][x]
+            if filt == 0:
+                enc = v
+            elif filt == 1:
+                enc = (v - a) & 0xFF
+            elif filt == 2:
+                enc = (v - b) & 0xFF
+            elif filt == 3:
+                enc = (v - (a + b) // 2) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc = (v - pred) & 0xFF
+            rows.append(enc)
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + chunk(b"IEND", b"")), px
+
+
+def test_real_png_resize_stdlib(spark):
+    """REAL PNG resize with no Pillow: every PNG row filter (None, Sub,
+    Up, Average, Paeth) unfilters correctly, and the nearest-neighbor
+    resample picks the exact source pixels — verified end-to-end through
+    the Spark resize_media path."""
+    import struct as st
+    import zlib
+
+    from syslog_loose_spark.sources.multimodal import (
+        _png_chunks, _png_unfilter, resize_media, resize_payload)
+
+    for filt in range(5):
+        png, px = _png_filtered_bytes(16, 10, filt)
+        out = resize_payload(png, 8, 5)
+        assert decode_image(out) == (8, 5), filt
+        idat = b"".join(d for t, d in _png_chunks(out) if t == b"IDAT")
+        got = _png_unfilter(zlib.decompress(idat), 8, 5)
+        for y in range(5):
+            for x in range(8):
+                assert got[y * 8 + x] == px[y * 10 // 5][x * 16 // 8], (
+                    filt, x, y)
+    # through Spark: mapInPandas batch resize of real PNG payloads
+    png, _ = _png_filtered_bytes(12, 6, 4)
+    df = spark.createDataFrame([(0, "image", bytearray(png), len(png))],
+                               MEDIA_SCHEMA)
+    rows = resize_media(df, 6, 3).collect()
+    assert decode_image(bytes(rows[0]["payload"])) == (6, 3)
