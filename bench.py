@@ -397,7 +397,17 @@ def main() -> None:
         out["scaling_parse_kernel"] = kernel
     if heavy:
         out["heavy_near_dup"] = heavy
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # stdout tail-capture by the driver has truncated this line before
+    # (BENCH_r03.json lost the headline metric); persist it to a file too
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT",
+                              "/root/repo/BENCH_LAST.json")
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ once, not once per join side.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -36,23 +38,37 @@ MERSENNE = 2147483647  # 2^31-1, the classic MinHash modulus
 # materialized can drop everything with unpersist_tracked().
 _PERSISTED: list = []
 _MAX_LIVE = 2
+_PERSISTED_LOCK = threading.Lock()
+
+
+def _drop(df: DataFrame) -> None:
+    # a handle may be bound to a SparkSession that has since stopped
+    # (tests/streaming restart sessions); dropping cache on a dead
+    # session is a no-op by intent, not an error
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def _track(df: DataFrame) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _MAX_LIVE:
-        _PERSISTED.pop(0).unpersist()
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(df)
+        evict = _PERSISTED[:-_MAX_LIVE]
+        del _PERSISTED[:-_MAX_LIVE]
+    for old in evict:
+        _drop(old)
     return df
 
 
 def unpersist_tracked() -> int:
     """Release every live tracked cache (call after materializing)."""
-    n = 0
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-        n += 1
-    return n
+    with _PERSISTED_LOCK:
+        live, _PERSISTED[:] = _PERSISTED[:], []
+    for df in live:
+        _drop(df)
+    return len(live)
 
 
 def cap_buckets(df: DataFrame, keys: list[str],

@@ -20,6 +20,7 @@ marked integration point, not a silent wrong answer.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import pandas as pd
@@ -70,7 +71,8 @@ def header_dims(payload: bytes) -> Optional[Tuple[int, int]]:
     stdlib, or None when the format is not recognized.  Handles PNG
     (IHDR), JPEG (first SOFn segment), GIF (logical screen descriptor)
     and BMP (BITMAPINFOHEADER); no external codec library involved."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+    if (payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24
+            and payload[12:16] == b"IHDR"):
         w, h = struct.unpack(">II", payload[16:24])
         return w, h
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
@@ -266,8 +268,8 @@ def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
                 and payload[12:16] == b"IHDR"):
             try:
                 return _png_gray8_resize(payload, new_w, new_h)
-            except ValueError:
-                pass  # unsupported PNG flavor -> Pillow fallback
+            except (ValueError, zlib.error, IndexError, struct.error):
+                pass  # unsupported/corrupt PNG -> Pillow fallback
         if _PIL_Image is not None:
             import io
 
