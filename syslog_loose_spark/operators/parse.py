@@ -437,7 +437,11 @@ def _rfc3339_fast(tok: str, memo: dict):
     m = _RXF_3339.match(tok)
     if m is not None:
         h, mi, sec = int(m.group(4)), int(m.group(5)), int(m.group(6))
-        if h <= 23 and mi <= 59 and sec <= 59:
+        # sec == 60 is chrono's leap second (timestamp.rs:14-22 via
+        # parse_from_rfc3339): stored as second 59 + (1+frac) s, so its
+        # epoch microseconds equal the next minute's start + frac — the
+        # integer arithmetic below yields exactly that with sec = 60
+        if h <= 23 and mi <= 59 and sec <= 60:
             days = _days_from_ymd(int(m.group(1)), int(m.group(2)),
                                   int(m.group(3)))
             if days is not None:
@@ -452,9 +456,14 @@ def _rfc3339_fast(tok: str, memo: dict):
                             * (1 if off[0] == "+" else -1)
                             if oh <= 23 and om <= 59 else None)
                 if offs is not None:
-                    epoch = ((days * 86400 + h * 3600 + mi * 60 + sec)
-                             * _US + us - offs * _US)
-                    out = (epoch, offs)
+                    wall = ((days * 86400 + h * 3600 + mi * 60 + sec)
+                            * _US + us)
+                    # the only way a 4-digit-year wall clock can leave
+                    # year 1..9999 is the 9999-12-31T23:59:60 leap fold;
+                    # the oracle's datetime arithmetic overflows there
+                    # (OverflowError -> ParseFail), so reject in lockstep
+                    if sec < 60 or wall <= _MAX_WALL_US:
+                        out = (wall - offs * _US, offs)
     memo[tok] = out
     return out
 

@@ -251,11 +251,15 @@ def parse_rfc3339(tok: str) -> datetime:
     precision is truncated to microseconds (chrono keeps nanoseconds; the
     reference corpus never exceeds 6 digits).
 
-    Deliberate deviation: chrono accepts the leap second ':60' (folded into
-    .999999+ of second 59); this implementation rejects it — Spark/DuckDB
-    timestamps cannot represent a 61st second, so leap-second inputs become
-    fallback rows in BOTH the engine and this oracle (documented in
-    COVERAGE.md)."""
+    Leap second parity (timestamp.rs:14-22): chrono accepts ':60' and
+    stores it as second 59 with nanos >= 10^9, so in epoch terms the
+    instant equals the next minute's start plus the fraction.  Python
+    datetimes cannot hold a 61st second, so the fold is applied here
+    directly (sec 59 + 1 s) — the resulting datetime has the exact epoch
+    microseconds chrono's timestamp_micros() would report.  The single
+    instant 9999-12-31T23:59:60 folds past datetime.max (chrono accepts
+    it; year 10000 is unrepresentable here) -> ParseFail, mirrored by the
+    engine's wall-bound check (documented in COVERAGE.md)."""
     m = _RFC3339_RE.match(tok)
     if not m:
         raise ParseFail("rfc3339")
@@ -274,10 +278,16 @@ def parse_rfc3339(tok: str) -> datetime:
         if oh > 23 or om > 59:
             raise ParseFail("offset range")
         offset = (oh * 3600 + om * 60) * (1 if off[0] == "+" else -1)
+    leap = sec == 60
+    if leap:
+        sec = 59
     try:
-        return datetime(y, mo, d, h, mi, sec, us,
-                        tzinfo=timezone(timedelta(seconds=offset)))
-    except ValueError as e:
+        dt = datetime(y, mo, d, h, mi, sec, us,
+                      tzinfo=timezone(timedelta(seconds=offset)))
+        if leap:
+            dt += timedelta(seconds=1)
+        return dt
+    except (ValueError, OverflowError) as e:
         raise ParseFail(str(e))
 
 

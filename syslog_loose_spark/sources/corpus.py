@@ -147,9 +147,9 @@ GOLDEN_CORPUS: List[Tuple[str, str]] = [
     # check, so the literal hostname is '-' (parsers.rs:46-54)
     ("host_dash_colon_3164", "<34>Oct 11 22:14:15 -: a message"),
     # leap second: chrono parse_from_rfc3339 (timestamp.rs:14-22) accepts
-    # ':60'; Spark/DuckDB timestamps cannot represent a 61st second, so
-    # engine AND oracle reject identically -> fallback row (documented
-    # deviation, COVERAGE.md)
+    # ':60' as second 59 + (1+frac) s; engine AND oracle apply the same
+    # fold, so these PARSE with epoch micros equal to the next minute's
+    # start + fraction (chrono timestamp_micros parity; COVERAGE.md)
     ("leap_second_5424",
      "<34>1 2016-12-31T23:59:60Z host app - - - leap second msg"),
     ("leap_second_3164_3339ts",

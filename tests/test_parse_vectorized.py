@@ -129,8 +129,11 @@ ADVERSARIAL = [
     "<34>Oct 11 22:14:15 -:x m",
     "<34>Oct 11 22:14:15 -:",
     "<34>Oct 11 22:14:15 - -: m",
-    # leap second rejected by engine AND oracle (documented deviation)
+    # leap second folds to next-minute start on BOTH sides (chrono parity)
     "<34>1 2003-10-11T22:14:60Z h a - - - leap",
+    "<34>1 2003-10-11T22:14:60.25+05:30 h a - - - leap frac offset",
+    "<34>1 9999-12-31T23:59:60Z h a - - - leap past datetime.max",
+    "<34>2016-12-31T23:59:60.5Z host app: leap in 3164 envelope",
     "<34>1 1969-12-31T23:59:59.5Z h a - - - pre-epoch",
     # C0 separators \x1c-\x1f: Python isspace()/\s say whitespace, Rust
     # char::is_whitespace (Unicode White_Space) says NOT — they are token
