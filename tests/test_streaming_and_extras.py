@@ -636,3 +636,52 @@ def test_real_png_resize_stdlib(spark):
                                MEDIA_SCHEMA)
     rows = resize_media(df, 6, 3).collect()
     assert decode_image(bytes(rows[0]["payload"])) == (6, 3)
+
+
+def test_sample_frames_real_container(spark):
+    """sample_frames is format-aware (r3 VERDICT item 7): only the FAKE
+    container strips its 12-byte header; a real PNG chunks the ENTIRE
+    payload, and the frames reassemble to the original bytes."""
+    from syslog_loose_spark.sources.multimodal import (
+        real_png_media, sample_frames)
+
+    png = real_png_media(7, 9, 6)
+    fake = fake_media(3, "video", 16, 9)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(png), len(png)),
+         (1, "video", bytearray(fake), len(fake))], MEDIA_SCHEMA)
+    rows = sample_frames(df, 4).collect()
+    by_id = {}
+    for r in sorted(rows, key=lambda r: (r["media_id"], r["frame_idx"])):
+        by_id.setdefault(r["media_id"], b"")
+        by_id[r["media_id"]] += bytes(r["frame"])
+    assert by_id[0] == png            # real container: whole payload
+    assert by_id[1] == fake[12:]      # FAKE: header stripped as before
+
+
+def test_real_png_generator_all_filters(spark):
+    """real_png_media emits scanline filters cycling y % 5 and decodes
+    back to the pure-arithmetic pixel field — on a 7-row image every one
+    of the five RFC 2083 filters round-trips."""
+    import zlib as _z
+
+    from syslog_loose_spark.sources.multimodal import (
+        _png_chunks, _png_unfilter, real_media_dims, real_png_media,
+        real_png_pixels, real_media_table)
+
+    for i in (0, 5, 11):
+        w, h = real_media_dims(i)
+        png = real_png_media(i, w, h)
+        assert decode_image(png) == (w, h)
+        idat = b"".join(d for t, d in _png_chunks(png) if t == b"IDAT")
+        raw = _z.decompress(idat)
+        # filters present: rows y=0..h-1 carry filter byte y % 5
+        assert [raw[y * (w + 1)] for y in range(h)] == [
+            y % 5 for y in range(h)]
+        assert bytes(_png_unfilter(raw, w, h)) == real_png_pixels(i, w, h)
+    # distributed generation matches the local encoder byte-for-byte
+    rows = {r["media_id"]: bytes(r["payload"])
+            for r in real_media_table(spark, 6).collect()}
+    for i in range(6):
+        w, h = real_media_dims(i)
+        assert rows[i] == real_png_media(i, w, h)
