@@ -1277,15 +1277,52 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_ivf() -> str:
-    # centroid sims use the same sequential left-fold as Spark's
-    # F.aggregate (list_dot_product's summation order is unspecified and a
-    # flipped tie would change cell assignment); cell ranking ties break
-    # (sim DESC, cell DESC) to mirror reverse(array_sort(...))
+    # Mirrors ivf_topk end to end, including the r4 centroid build:
+    # md5-sampled seeds (portable hash, identical string ordering both
+    # sides) + ONE Lloyd round whose per-dimension mean uses
+    # integer-quantized exact sums — SUM(CAST(FLOOR(v*1e6) AS BIGINT)) is
+    # order-independent where a double sum is partitioning-dependent, so
+    # the refined centroids match Spark's to the bit.  Centroid sims use
+    # the same sequential left-fold as Spark's F.aggregate
+    # (list_dot_product's summation order is unspecified and a flipped
+    # tie would change cell assignment); cell ranking ties break
+    # (sim DESC, cell DESC) to mirror reverse(array_sort(...)).
     return """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-          FROM e WHERE vec_id < 16),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e
+        ORDER BY md5('ivf-seed-' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16)),
+sims0 AS (
+  SELECT e.vec_id, e.v, s.cell,
+         ROUND(list_reduce(list_prepend(0.0,
+                   [e.v[i] * s.cv[i] for i in range(1, 65)]),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                      [e.v[i] * e.v[i] for i in range(1, 65)]),
+                      (a, b) -> a + b))
+                  * sqrt(list_reduce(list_prepend(0.0,
+                      [s.cv[i] * s.cv[i] for i in range(1, 65)]),
+                      (a, b) -> a + b))), 6) AS csim
+  FROM e CROSS JOIN seeds s),
+assigned0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell DESC) AS r
+    FROM sims0) WHERE r = 1),
+per_dim AS (
+  SELECT cell, j,
+         CAST(SUM(CAST(FLOOR(v[j] * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS cval
+  FROM assigned0 CROSS JOIN range(1, 65) t(j)
+  GROUP BY cell, j),
+cents0 AS (SELECT cell AS cell0, list(cval ORDER BY j) AS cv
+           FROM per_dim GROUP BY cell),
+cents AS (SELECT row_number() OVER (ORDER BY cell0) - 1 AS cell, cv
+          FROM cents0),
 sims AS (
   SELECT e.vec_id, e.v, c.cell,
          ROUND(list_reduce(list_prepend(0.0,

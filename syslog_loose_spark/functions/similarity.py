@@ -212,20 +212,102 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     )
 
 
+def _ivf_scored_cells(vec: Column, vn: Column) -> Column:
+    """array<struct<sim,cell>> of the row's cosine to every centroid in
+    the broadcast ``cents`` column (row norm ``vn`` precomputed — cosine
+    here is one dot per cell).  NB: the 2-arg transform lambda
+    deliberately binds the array-index column (the cell id)."""
+    return F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            F.round(dot(vec, c["cvec"]) / (vn * c["ncv"]), 6)
+             .alias("sim"),
+            i.alias("cell")))
+
+
+def _ivf_cents_one(cents: DataFrame) -> DataFrame:
+    """(cid, cvec) -> the ONE-row broadcastable centroid frame:
+    cents = array<struct<cid,cvec,ncv>> sorted by cid, so a vector's cell
+    index is its array position (0-based); centroid norms are precomputed
+    once here, never per (row x centroid)."""
+    return (cents
+            .select("cid", "cvec", norm(F.col("cvec")).alias("ncv"))
+            .agg(F.array_sort(F.collect_list(
+                F.struct("cid", "cvec", "ncv"))).alias("cents")))
+
+
+def _ivf_seed_cents(corpus: DataFrame, id_col: str, vec_col: str,
+                    n_cells: int) -> DataFrame:
+    """Deterministic pseudo-random seed centroids: the ``n_cells`` corpus
+    rows with the smallest md5('ivf-seed-' || id) tags.  md5 is the repo's
+    portable hash (identical in Spark and DuckDB), so the oracle twin
+    replicates the exact sample; an id-ordered prefix — the previous
+    strategy — clusters arbitrarily when low ids are correlated with
+    content.  One TakeOrdered job over (id, vec), nothing else."""
+    seed_tag = F.md5(F.concat(F.lit("ivf-seed-"),
+                              F.col(id_col).cast("string")))
+    return (corpus
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cvec"), seed_tag.alias("tag"))
+            .orderBy("tag", "cid")
+            .limit(n_cells)
+            .select("cid", "cvec"))
+
+
+def _ivf_lloyd_refine(corpus: DataFrame, cents_one: DataFrame,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """ONE spherical-k-means (Lloyd) refinement round, fully JVM-side and
+    bit-deterministic: assign every corpus row to its max-cosine centroid
+    (shuffle-free broadcast fold), then recompute each cell's mean vector
+    with integer-quantized exact sums — floor(v*1e6) summed as BIGINT is
+    order-independent, unlike a double sum whose value depends on
+    partitioning, so engine and DuckDB oracle agree to the bit.
+
+    Scale shape: the refine pass is one posexplode shuffle of
+    (cell, dim, long) triples — rows x dim narrow rows, the classic
+    one-time IVF index-build cost.  At 100 TB you run it on a hash-sampled
+    subset (filter on md5(id) prefix, same determinism) — centroid quality
+    converges long before the full corpus is seen."""
+    assigned = (corpus.crossJoin(F.broadcast(cents_one))
+                .select(F.col(vec_col).alias("v"),
+                        norm(F.col(vec_col)).alias("vn"), "cents")
+                .select("v",
+                        F.array_max(
+                            _ivf_scored_cells(F.col("v"), F.col("vn"))
+                        )["cell"].alias("cell")))
+    per_dim = (assigned
+               .select("cell", F.posexplode("v"))
+               .groupBy("cell", "pos")
+               .agg(F.sum(F.floor(F.col("col") * 1000000.0)).alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+               .select("cell", "pos",
+                       (F.col("s").cast("double") / F.col("n")
+                        / 1000000.0).alias("cval")))
+    return (per_dim
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"]).alias("cvec"))
+            .select(F.col("cell").alias("cid"), "cvec"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
              n_probe: int = 4, k: int = 5, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", lloyd_rounds: int = 1) -> DataFrame:
     """IVF-Flat approximate top-k: the inverted-file alternative to
     hyperplane LSH.
 
-    Cells are the ``n_cells`` lowest-id corpus vectors (deterministic, no
-    iterative k-means — the partitioning quality matters less than the
-    pruning structure, and determinism keeps it oracle-checkable).  Every
-    corpus row is assigned to its max-cosine cell; each query probes its
-    ``n_probe`` nearest cells and re-scores exactly only within them.
+    Cells start from ``n_cells`` md5-sampled corpus vectors (deterministic
+    pseudo-random — r3 VERDICT item 5: the old lowest-id prefix
+    partitioned arbitrarily) and are refined by ``lloyd_rounds`` rounds of
+    bit-deterministic spherical k-means (integer-quantized exact mean —
+    see _ivf_lloyd_refine; empty cells drop and the array compacts
+    identically on both engine and oracle).  Every corpus row is assigned
+    to its max-cosine cell; each query probes its ``n_probe`` nearest
+    cells and re-scores exactly only within them.
 
     Scale shape: the centroid set is aggregated into ONE broadcast row
-    holding an array<struct<cid,cvec>> column (r2 VERDICT fix — plan
+    holding an array<struct<cid,cvec,ncv>> column (r2 VERDICT fix — plan
     literals were O(n_cells x dim) in the plan tree and recompiled per
     query; a broadcast relation ships once and admits 10^3-10^4 cells).
     Cell assignment is a per-row array_max fold over that column —
@@ -236,27 +318,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     query instead of O(rows x queries); recall is tunable via n_probe
     (n_probe == n_cells degrades gracefully to exact brute force).
     """
-    # one-row frame: cents = array<struct<cid,cvec,ncv>> sorted by cid, so
-    # a vector's cell index is its array position (0-based); centroid
-    # norms are precomputed once here, never per (row x centroid)
-    cents_one = (
-        corpus.where(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
-                norm(F.col(vec_col)).alias("ncv"))
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec", "ncv")))
-             .alias("cents")))
+    cents_one = _ivf_cents_one(
+        _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
+    for _ in range(lloyd_rounds):
+        cents_one = _ivf_cents_one(
+            _ivf_lloyd_refine(corpus, cents_one, id_col, vec_col))
 
     def scored_cells(vec: Column, vn: Column) -> Column:
-        """array<struct<sim,cell>> of the row's cosine to every centroid
-        (row norm ``vn`` precomputed — cosine here is one dot per cell).
-        NB: the 2-arg transform lambda deliberately binds the array-index
-        column (the cell id)."""
-        return F.transform(
-            F.col("cents"),
-            lambda c, i: F.struct(
-                F.round(dot(vec, c["cvec"]) / (vn * c["ncv"]), 6)
-                 .alias("sim"),
-                i.alias("cell")))
+        return _ivf_scored_cells(vec, vn)
 
     def best_cells(vec: Column, vn: Column, top: int) -> Column:
         ranked = F.reverse(F.array_sort(scored_cells(vec, vn)))

@@ -685,3 +685,40 @@ def test_real_png_generator_all_filters(spark):
     for i in range(6):
         w, h = real_media_dims(i)
         assert rows[i] == real_png_media(i, w, h)
+
+
+def test_ivf_refined_centroids_recall_on_planted_clusters(spark):
+    """r3 VERDICT item 5: md5-sampled seeds + one integer-exact Lloyd
+    round must recover planted cluster structure — recall@5 vs brute
+    force >= 0.9 at n_probe=2 of 20 cells on 20 well-separated clusters
+    (the old lowest-id prefix put every seed in the first clusters and
+    collapsed recall for the rest)."""
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dim, n_clusters, per = 16, 20, 40
+    centers = [[(h32(f"c{c}-{j}") % 2000 - 1000) / 1000.0
+                for j in range(dim)] for c in range(n_clusters)]
+    rows = []
+    for c in range(n_clusters):
+        for m in range(per):
+            vec = [centers[c][j]
+                   + (h32(f"n{c}-{m}-{j}") % 200 - 100) / 1000.0
+                   for j in range(dim)]
+            rows.append((c * per + m, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % per == 0)
+    exact = {}
+    for r in S.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in S.ivf_topk(emb, q, n_cells=n_clusters, n_probe=2,
+                        k=5).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    assert total == 5 * n_clusters
+    recall = hits / total
+    assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
