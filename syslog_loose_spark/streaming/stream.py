@@ -97,3 +97,63 @@ def running_source_totals(parsed_stream: DataFrame,
             .groupBy("source")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", timeout))
+
+
+def streaming_sessions(events_stream: DataFrame, gap_minutes: int = 30,
+                       timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming twin of operators/sessionize.sessionize (r3 VERDICT item
+    8): gap-based per-user session ids maintained across micro-batches
+    with applyInPandasWithState.  Emits one row per event carrying the
+    SAME (user_id, session_seq) the batch operator assigns, so a replayed
+    fixture is asserted equal to the batch result
+    (tests/test_streaming_and_extras.test_streaming_sessionize_parity).
+
+    State per user is just (last event micro-epoch, current session seq)
+    — O(1) per key, unlike buffering whole sessions.  Events are sorted
+    by (ts, event_id) WITHIN each micro-batch; like every gap
+    sessionizer, cross-batch order must be non-decreasing per user
+    (upstream watermark+sort provides it in production — the classic
+    trade of the streaming formulation).
+
+    Scale shape: state is hash-partitioned by user_id across executors;
+    each micro-batch shuffles only that batch's rows.  Microsecond
+    arithmetic matches the batch operator (unix_micros), so boundary
+    events bucket identically."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                  "session_seq BIGINT")
+    state_schema = "last_us BIGINT, seq BIGINT"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:  # timeout-only invocation: nothing to emit
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if state.exists:
+            last_us, seq = state.get
+        else:
+            last_us, seq = None, 0
+        seqs = []
+        for t in pdf["ts"]:
+            us = t.value // 1000  # pandas ns -> µs (batch twin's unit)
+            if last_us is None or us - last_us > gap_us:
+                seq += 1
+            last_us = us
+            seqs.append(seq)
+        state.update((int(last_us), int(seq)))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(pdf),
+            "event_id": pdf["event_id"].to_numpy(),
+            "ts": pdf["ts"].to_numpy(),
+            "session_seq": seqs,
+        })
+
+    return (events_stream
+            .select("user_id", "event_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", timeout))

@@ -722,3 +722,55 @@ def test_ivf_refined_centroids_recall_on_planted_clusters(spark):
     assert total == 5 * n_clusters
     recall = hits / total
     assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
+
+
+def test_streaming_sessionize_parity_with_batch(spark, tmp_path):
+    """r3 VERDICT item 8: the applyInPandasWithState gap sessionizer must
+    assign the SAME session ids as the batch window operator when the
+    fixture replays in timestamp order across micro-batches (3 chunks,
+    one file per trigger, state carrying sessions over the boundaries)."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from syslog_loose_spark.operators.sessionize import sessionize
+    from syslog_loose_spark.streaming.stream import streaming_sessions
+
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .where(F.col("user_id") < 40)
+              .select("user_id", "event_id", "ts"))
+    n = events.count()
+    assert n > 100
+    src = str(tmp_path / "sess_src")
+    ranked = events.withColumn(
+        "rk", F.row_number().over(W.orderBy("ts", "event_id")))
+    seen: set = set()
+    for i in range(3):
+        (ranked.where((F.col("rk") > i * n / 3)
+                      & (F.col("rk") <= (i + 1) * n / 3)).drop("rk")
+         .coalesce(1).write.mode("append").parquet(src))
+        # file source processes oldest-mtime first: stamp chunk order on
+        # the file each write just produced (part names are uuids — they
+        # do NOT sort in write order)
+        new = [p for p in _os.listdir(src)
+               if p.startswith("part-") and p not in seen]
+        assert len(new) == 1
+        seen.add(new[0])
+        _os.utime(_os.path.join(src, new[0]),
+                  (1_700_000_000 + i * 10,) * 2)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_sessions(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sessout")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["event_id"]): r["session_seq"]
+           for r in spark.sql("select * from sessout").collect()}
+    want = {(r["user_id"], r["event_id"]): r["session_seq"]
+            for r in sessionize(events, gap_minutes=30).collect()}
+    assert len(got) == n
+    assert got == want
