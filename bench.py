@@ -53,11 +53,17 @@ os.makedirs(local_dir, exist_ok=True)
 # split sizing for a ~300 MB fixture: at 100 TB the default 128 MB splits
 # give ample scan parallelism, but a small fixture needs proportionally
 # small splits or the parse stage runs 6-wide while 24 slots idle
+# advisory 8m: the REBALANCE write sizes its runtime partitions by this —
+# the ~350 MB fan-out shuffle yields ~45 even write tasks; the 64m default
+# is right at 100-TB shuffle sizes but starves a small fixture of
+# parallelism (6-8 fat tasks on 24 slots)
 spark = get_spark(f"bench-{slots}", cpus=slots,
                   shuffle_partitions=max(4 * slots, 8),
                   local_dir=local_dir,
                   extra_conf={"spark.sql.files.maxPartitionBytes": "8m",
-                              "spark.sql.files.openCostInBytes": "1m"})
+                              "spark.sql.files.openCostInBytes": "1m",
+                              "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                                  "8m"})
 # warm the REAL path at full width: JVM codegen/JIT for parse+enrich and
 # one python worker per slot (limit(1000).count() warms neither; measured
 # first-pass JIT cost is 5-20s and hits the wide run hardest)
@@ -71,20 +77,24 @@ def cpu_all():
         parts = f.readline().split()[1:]
     return sum(int(x) for x in parts[:3]) / os.sysconf("SC_CLK_TCK")
 
-best = (float("inf"), 0.0)
+best = (float("inf"), 0.0, None)
 for r in range(reps):
+    timings = {}
     c0, t0 = cpu_all(), time.perf_counter()
     run_pipeline(spark, spark.read.parquet(fixture),
                  f"{out_root}/rep{r}", run_id="bench",
                  cfg=PipelineConfig(shuffle_partitions=max(4 * slots, 8)),
-                 n_chunks=1)
+                 n_chunks=1, timings=timings)
     wall = time.perf_counter() - t0
     if wall < best[0]:
-        best = (wall, cpu_all() - c0)
+        best = (wall, cpu_all() - c0, timings)
 print("RESULT " + json.dumps({
     "sec": best[0],
     "machine_cpu_sec": round(best[1], 1),
-    "cores_busy": round(best[1] / best[0], 1)}), flush=True)
+    "cores_busy": round(best[1] / best[0], 1),
+    "phases": {k: {"sec": v[0], "machine_cpu_sec": v[1],
+                   "cores_busy": round(v[1] / v[0], 1) if v[0] else 0}
+               for k, v in (best[2] or {}).items()}}), flush=True)
 spark.stop()
 '''
 
@@ -348,15 +358,30 @@ def main() -> None:
     spark.stop()
 
     os.sync()
-    # headline + scaling, each pinned to its CPU budget
-    r_full = run_pinned(cpus, fixture, os.path.join(work, "out_full"))
-    t_full = r_full["sec"]
-    results["e2e_parse_route_aggregate"] = round(t_full, 3)
     scaling = None
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        os.sync()
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1":
+        r_full = run_pinned(cpus, fixture, os.path.join(work, "out_full"))
+        t_full = r_full["sec"]
+    else:
+        # INTERLEAVED widths (r3 VERDICT item 2): the shared VM drifts on
+        # the minutes scale, so measuring all-hi then all-lo lets a slow
+        # window land entirely on one width and corrupt the ratio.
+        # Alternating hi/lo children (best-of-2 reps each, best-of-2
+        # children per width) bounds drift bias by the child period.
         low = max(cpus // 4, 1)
-        r_low = run_pinned(low, fixture, os.path.join(work, "out_low"))
+        r_full = r_low = None
+        for i in range(2):
+            rh = run_pinned(cpus, fixture,
+                            os.path.join(work, f"out_hi{i}"), reps=2)
+            if r_full is None or rh["sec"] < r_full["sec"]:
+                r_full = rh
+            os.sync()
+            rl = run_pinned(low, fixture,
+                            os.path.join(work, f"out_lo{i}"), reps=2)
+            if r_low is None or rl["sec"] < r_low["sec"]:
+                r_low = rl
+            os.sync()
+        t_full = r_full["sec"]
         t_low = r_low["sec"]
         thr_full, thr_low = n_rows / t_full, n_rows / t_low
         scaling = {
@@ -369,12 +394,27 @@ def main() -> None:
             "cores_busy_high": r_full["cores_busy"],
             "machine_cpu_sec_low": r_low["machine_cpu_sec"],
             "machine_cpu_sec_high": r_full["machine_cpu_sec"],
-            "method": "sched-affinity-pinned subprocesses, best-of-3, "
-                      "task slots = 0.75x CPUs, tmpfs scratch+output, "
-                      "real-plan warmup; cores_busy near the pinned width "
-                      "at both points = no starvation, the residual gap "
-                      "is per-core clock droop (see kernel decomposition)",
+            # per-stage decomposition at both widths: locates WHICH stage
+            # tails when wide (r3 VERDICT item 2) — per-phase efficiency
+            # = (sec_low/sec_high) / (cpus_high/cpus_low)
+            "phases_low": r_low.get("phases", {}),
+            "phases_high": r_full.get("phases", {}),
+            "phase_efficiency": {
+                k: round((r_low["phases"][k]["sec"]
+                          / r_full["phases"][k]["sec"])
+                         / (cpus / low), 3)
+                for k in r_full.get("phases", {})
+                if k in r_low.get("phases", {})
+                and r_full["phases"][k]["sec"] > 0},
+            "method": "sched-affinity-pinned subprocesses, hi/lo children "
+                      "INTERLEAVED (2 per width, best-of-2 reps each) so "
+                      "VM drift cannot land on one width, task slots = "
+                      "0.75x CPUs, tmpfs scratch+output, real-plan "
+                      "warmup; cores_busy near the pinned width at both "
+                      "points = no starvation, the residual gap is "
+                      "per-core clock droop (see kernel decomposition)",
         }
+    results["e2e_parse_route_aggregate"] = round(t_full, 3)
 
     kernel = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":

@@ -48,15 +48,19 @@ def completed_chunks(spark: SparkSession, state_dir: str, run_id: str
 
 def commit_chunk(spark: SparkSession, state_dir: str, run_id: str,
                  chunk: int, metrics: DataFrame) -> None:
-    """Append this chunk's metrics rows, then the commit marker.  The
-    marker is written last: state is only believed if the marker exists."""
+    """Append this chunk's metrics rows and its commit marker in ONE
+    atomic write job.  The contract is 'state is only believed if the
+    marker exists'; a single FileOutputCommitter append publishes both or
+    neither (task files move into place only at job commit), which
+    preserves that while halving the fixed per-chunk job latency the old
+    two-append sequence paid (r3 VERDICT item 2: flat costs dominate the
+    wide-run tail)."""
     m = (metrics
          .withColumn("run_id", F.lit(run_id))
          .withColumn("kind", F.lit("metrics"))
          .withColumn("chunk", F.lit(chunk))
          .select([f.name for f in STATE_SCHEMA.fields]))
-    m.write.mode("append").parquet(state_dir)
     marker = spark.createDataFrame(
         [(run_id, "chunk_commit", chunk, None, None, None, None, None, None)],
         STATE_SCHEMA)
-    marker.write.mode("append").parquet(state_dir)
+    m.unionByName(marker).write.mode("append").parquet(state_dir)

@@ -81,24 +81,42 @@ def salted_source(cfg: PipelineConfig):
     ).otherwise(F.col("source"))
 
 
-def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
-                mode: str = "overwrite") -> None:
-    """Cluster by the salted key, then fan out in one partitioned write.
+def clustered_for_write(routed: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Cluster rows for the dynamic-partition fan-out write.
 
-    The repartition keys are exactly the writer's partition columns plus
-    the hot-source salt, so a task holds one (or, for hot sources, 1/K of
-    one) output directory — that keeps the dynamic-partition writer's
-    per-task working set to a couple of open files and (with
-    maxConcurrentOutputFileWriters, session.py) skips its implicit
-    whole-row sort, which dominates write cost for fat token rows."""
+    Default ("rebalance"): the AQE REBALANCE hint on the writer partition
+    columns — at runtime the optimizer splits shuffle partitions that
+    exceed advisoryPartitionSizeInBytes and coalesces tiny ones, so task
+    sizes stay even no matter how skewed the (sink, source, severity) key
+    distribution is.  This is the Catalyst-native generalization of hot
+    key salting: the r3 event-log audit showed the salted write stage at
+    util 0.69 (p50 task 0.7 s vs max 3.3 s — keys below the hot-source
+    threshold still skew); REBALANCE measured ~2x on the same fan-out.
+
+    Fallback ("salted_repartition"): explicit repartition on exactly the
+    writer's partition columns plus the hot-source salt, so a task holds
+    one (or 1/K of one) output directory.  Either way the per-task
+    working set stays at a handful of open files and (with
+    maxConcurrentOutputFileWriters, session.py) the writer skips its
+    implicit whole-row sort, which dominates fan-out cost for fat token
+    rows."""
+    if cfg.write_strategy == "rebalance":
+        return routed.hint("rebalance", SINK_COL, "source",
+                           "severity_bucket")
     salt = F.when(_is_hot(cfg),
                   F.pmod(F.xxhash64(F.col("doc_id")),
                          F.lit(cfg.salt_buckets))).otherwise(F.lit(0))
+    return routed.repartition(cfg.shuffle_partitions,
+                              F.col(SINK_COL), F.col("source"),
+                              F.col("severity_bucket"), salt)
+
+
+def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
+                mode: str = "overwrite") -> None:
+    """Cluster (see clustered_for_write), then fan out in ONE partitioned
+    write."""
     (
-        routed
-        .repartition(cfg.shuffle_partitions,
-                     F.col(SINK_COL), F.col("source"),
-                     F.col("severity_bucket"), salt)
+        clustered_for_write(routed, cfg)
         .write
         .partitionBy(SINK_COL, "source", "severity_bucket")
         .mode(mode)

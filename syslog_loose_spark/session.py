@@ -42,10 +42,18 @@ def get_spark(app_name: str = "syslog-loose-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
         # dynamic-partition writes keep up to this many writers open per
         # task instead of sorting every (fat, token-carrying) row first —
-        # the sort dominates fan-out cost otherwise
-        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
+        # the sort dominates fan-out cost otherwise.  128 covers the
+        # REBALANCE write path, where one coalesced task may hold rows of
+        # many small (sink,source,severity) directories at once
+        .config("spark.sql.maxConcurrentOutputFileWriters", "128")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # throughput GC for the batch-shaped local JVM: at 24 concurrent
+        # fat-row tasks ParallelGC measured ~6% less CPU and ~5% less
+        # wall than the G1 default on the e2e fan-out (interleaved A/B);
+        # a bigger heap (20g) was WORSE than 8g under both collectors
+        # (locality), so the heap stays deliberately small
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     if local_dir is not None:

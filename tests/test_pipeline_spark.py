@@ -178,11 +178,38 @@ def test_detect_hot_sources_and_auto_salting(spark, tmp_path):
     assert detect_hot_sources(toks, fraction=0.001) == tuple(sorted(
         r["source"] for r in toks.select("source").distinct().collect()))
 
+    # pin the salted strategy: the default REBALANCE path never
+    # resolves hot sources (AQE handles skew), so 'auto' detection only
+    # runs — and is only exercised — under salted_repartition
     agg_auto = run_pipeline(
         spark, toks, str(tmp_path / "auto"), run_id="a",
-        cfg=PipelineConfig(hot_sources=None), n_chunks=1).collect()
+        cfg=PipelineConfig(hot_sources=None,
+                           write_strategy="salted_repartition"),
+        n_chunks=1).collect()
     agg_static = run_pipeline(
         spark, toks, str(tmp_path / "static"), run_id="s",
-        cfg=PipelineConfig(), n_chunks=1).collect()
+        cfg=PipelineConfig(write_strategy="salted_repartition"),
+        n_chunks=1).collect()
     assert sorted(map(tuple, agg_auto), key=repr) == \
         sorted(map(tuple, agg_static), key=repr)
+
+
+def test_route_write_strategies_agree_and_rebalance_plans(spark, tmp_path):
+    """The REBALANCE fan-out (default) and the salted repartition
+    fallback must write identical row sets, and the rebalance plan must
+    actually carry the AQE rebalance operator."""
+    from syslog_loose_spark.operators.route import (
+        clustered_for_write, route_write)
+
+    toks = generate_tokenized(spark, 2000)
+    routed = parsed_pipeline(toks, CFG)
+    reb = clustered_for_write(routed, PipelineConfig())
+    plan = reb._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan, plan
+    for name, cfg in (("reb", PipelineConfig()),
+                      ("salt", PipelineConfig(
+                          write_strategy="salted_repartition"))):
+        route_write(parsed_pipeline(toks, cfg), str(tmp_path / name), cfg)
+    a = spark.read.parquet(str(tmp_path / "reb")).select("doc_id", "sink")
+    b = spark.read.parquet(str(tmp_path / "salt")).select("doc_id", "sink")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
