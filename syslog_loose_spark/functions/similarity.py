@@ -323,6 +323,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     for _ in range(lloyd_rounds):
         cents_one = _ivf_cents_one(
             _ivf_lloyd_refine(corpus, cents_one, id_col, vec_col))
+    if lloyd_rounds:
+        # the refined one-row frame feeds TWO broadcasts (corpus
+        # assignment + query probing); without a persist the whole
+        # corpus-wide Lloyd pass executes once per consumer (verified in
+        # the executed plan: no ReusedExchange).  Registered in the
+        # bounded cache registry like the near-dup relations.
+        from .dedup import _track
+
+        cents_one = _track(cents_one)
 
     def scored_cells(vec: Column, vn: Column) -> Column:
         return _ivf_scored_cells(vec, vn)
