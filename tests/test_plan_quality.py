@@ -188,3 +188,19 @@ def test_term_doc_freq_partial_topk(spark):
     df = entry_mod.queries()["term_doc_freq"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_refined_cents_cached_not_recomputed(spark):
+    """The refined centroid one-row frame feeds two broadcasts (corpus
+    assignment + query probing); it must come from cache in BOTH places
+    or the corpus-wide Lloyd pass runs twice (r4 fix — the executed plan
+    had no ReusedExchange)."""
+    from syslog_loose_spark.functions import similarity as S
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = S.ivf_topk(emb, emb.where(F.col("vec_id") < 3),
+                    n_cells=8, n_probe=2, k=3)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    unpersist_tracked()
