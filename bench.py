@@ -265,26 +265,33 @@ def heavy_near_dup_bench(spark) -> dict:
         return spark.range(n).select(F.col("id").alias("vec_id"),
                                      vec.alias("embedding"))
 
+    def best_of(n, fn):
+        """Single-shot timings swing 2x on the shared VM (same reason the
+        per-query section is best-of-2); min of n runs."""
+        best, pairs = None, None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            pairs = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            unpersist_tracked()
+        return round(best, 3), int(pairs)
+
     out: dict = {}
     n_docs = 200_000
-    t0 = time.perf_counter()
-    pairs = simhash_near_dups(synth_docs(n_docs), max_hamming=3,
-                              bands=4).count()
+    sec, pairs = best_of(2, lambda: simhash_near_dups(
+        synth_docs(n_docs), max_hamming=3, bands=4).count())
     out["simhash_near_dups_200k_docs"] = {
-        "sec": round(time.perf_counter() - t0, 3), "rows": n_docs,
-        "pairs": int(pairs)}
-    unpersist_tracked()
+        "sec": sec, "rows": n_docs, "pairs": pairs}
     n_vecs = 80_000
     # 10 planes/band: bucket occupancy ~ n/2^planes must stay under the
     # bucket cap — plane count scales with corpus size (see similarity.py)
     planes = plane_bands(n_bands=2, n_planes=10, dim=64)
-    t0 = time.perf_counter()
-    pairs = embedding_near_dups(synth_emb(n_vecs), threshold=0.95,
-                                planes=planes).count()
+    sec, pairs = best_of(2, lambda: embedding_near_dups(
+        synth_emb(n_vecs), threshold=0.95, planes=planes).count())
     out["embedding_near_dups_80k_vecs"] = {
-        "sec": round(time.perf_counter() - t0, 3), "rows": n_vecs,
-        "pairs": int(pairs), "planted": n_vecs // 100}
-    unpersist_tracked()
+        "sec": sec, "rows": n_vecs, "pairs": pairs,
+        "planted": n_vecs // 100}
     return out
 
 
