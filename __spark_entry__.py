@@ -1220,6 +1220,73 @@ ORDER BY a, b
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
+    simhash pair graph (transitivity — a~b, b~c collapse to one cluster
+    even when a~c was never emitted).  Component id = min reachable
+    doc_id, via O(log diameter) rounds of min-label propagation with
+    pointer jumping (functions/dedup.connected_components)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = D.simhash_near_dups(docs, max_hamming=3, bands=4)
+    return (D.connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "component")
+            .orderBy("doc_id"))
+
+
+def _cc_closure_sql(edges_sql: str) -> str:
+    """Recursive-CTE transitive closure + min label over an (a, b) edge
+    query — the DuckDB twin of connected_components.  Closure size is
+    sum of component sizes squared: fine for duplicate clusters."""
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+und AS (SELECT a AS x, b AS y FROM edges
+        UNION SELECT b, a FROM edges),
+reach(x, y) AS (
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x
+)
+SELECT x AS node, LEAST(x, MIN(y)) AS component
+FROM reach GROUP BY x
+"""
+
+
+def _simhash_pairs_edge_sql() -> str:
+    """The simhash_near_dups oracle as a bare (a, b) edge query."""
+    inner = _oracle_simhash_near_dups().strip()
+    return f"SELECT a, b FROM ({inner.rstrip()}) AS sp"
+
+
+def _oracle_dedup_components() -> str:
+    closure = _cc_closure_sql(_simhash_pairs_edge_sql())
+    return f"""
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component
+FROM ({closure}) ORDER BY doc_id
+"""
+
+
+def q_near_dup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation end-state: keep exactly ONE document per
+    near-duplicate cluster (the minimum doc_id), pass untouched docs
+    through — a single anti-join against the (small) non-canonical
+    member set."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = D.simhash_near_dups(docs, max_hamming=3, bands=4)
+    return (D.drop_near_dup_docs(docs, pairs)
+            .select("doc_id", "n_chars").orderBy("doc_id"))
+
+
+def _oracle_near_dup_keep_canonical() -> str:
+    closure = _cc_closure_sql(_simhash_pairs_edge_sql())
+    return f"""
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id < 500
+  AND d.doc_id NOT IN (SELECT node FROM ({closure}) WHERE node <> component)
+ORDER BY d.doc_id
+"""
+
+
 def _ann_plane_bands():
     """2 OR-amplification bands x 4 deterministic ±1 hyperplanes."""
     return S.plane_bands(seed=31)
@@ -1745,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq": q_term_doc_freq,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
+        "dedup_components": q_dedup_components,
+        "near_dup_keep_canonical": q_near_dup_keep_canonical,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -1793,6 +1862,8 @@ def oracle_sql() -> dict[str, str]:
         "term_doc_freq": _oracle_term_doc_freq(),
         "simhash": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_near_dups(),
+        "dedup_components": _oracle_dedup_components(),
+        "near_dup_keep_canonical": _oracle_near_dup_keep_canonical(),
         "ann_lsh_topk": _oracle_ann_lsh(),
         "ann_ivf_topk": _oracle_ann_ivf(),
         "multimodal_features": _oracle_multimodal_features(),

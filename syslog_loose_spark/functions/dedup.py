@@ -363,3 +363,88 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 32) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the MINIMUM node id reachable through the pair graph
+    — the deterministic canonical representative.
+
+    This is the post-pass that turns near-duplicate PAIRS into duplicate
+    CLUSTERS (transitivity: a~b and b~c must collapse to one keeper even
+    when a~c was never emitted by the banded join).  Iterative min-label
+    propagation with pointer jumping, pure DataFrame joins:
+
+      label[x]  <- min(label[x], min over neighbors label[y])   (1 hop)
+      label[x]  <- min(label[x], label[label[x]])               (jump)
+
+    The jump step doubles the effective propagation distance per round
+    (hash-to-min style), so convergence is O(log diameter) rounds, each
+    round a bounded number of shuffles over the PAIR set — which at
+    100 TB is the (far smaller) output of the banded similarity joins,
+    not the corpus.  Every generation is materialized by the convergence
+    check and the previous one unpersisted, so peak storage is two label
+    frames + the edge set.  Raises RuntimeError if ``max_iter`` rounds
+    don't converge (loud, never silently-wrong clusters)."""
+    edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+             .union(pairs.select(F.col(b_col).alias("x"),
+                                 F.col(a_col).alias("y")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        labels = (edges.groupBy("x").agg(F.min("y").alias("nmin"))
+                  .select("x", F.least(F.col("x"),
+                                       F.col("nmin")).alias("lbl"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        labels.count()
+        for _ in range(max_iter):
+            nbr = (edges.join(labels.select(F.col("x").alias("y"),
+                                            F.col("lbl").alias("ylbl")),
+                              "y")
+                   .groupBy("x").agg(F.min("ylbl").alias("nlbl")))
+            prop = (labels.join(nbr, "x", "left")
+                    .select("x", F.least(
+                        F.col("lbl"),
+                        F.coalesce(F.col("nlbl"), F.col("lbl")))
+                        .alias("lbl")))
+            parent = prop.select(F.col("x").alias("px"),
+                                 F.col("lbl").alias("plbl"))
+            jumped = (prop.join(parent, prop["lbl"] == parent["px"],
+                                "left")
+                      .select(prop["x"].alias("x"),
+                              F.least(prop["lbl"],
+                                      F.coalesce(parent["plbl"],
+                                                 prop["lbl"]))
+                              .alias("lbl"))
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+            changed = (jumped.alias("n")
+                       .join(labels.alias("o"), "x")
+                       .where(F.col("n.lbl") != F.col("o.lbl")).count())
+            labels.unpersist()
+            labels = jumped
+            if changed == 0:
+                # registered so callers release it like the other
+                # near-dup caches (unpersist_tracked after materializing)
+                with _PERSISTED_LOCK:
+                    _PERSISTED.append(labels)
+                return labels.select(F.col("x").alias("node"),
+                                     F.col("lbl").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(diameter > 2^rounds is implausible for near-dup graphs — "
+            "check the pair input)")
+    finally:
+        edges.unpersist()
+
+
+def drop_near_dup_docs(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical document per near-duplicate CLUSTER: the
+    minimum id of each connected component survives, every other member
+    is dropped.  Docs in no pair pass through untouched.  One broadcast-
+    able anti-join against the (small) non-canonical member set."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

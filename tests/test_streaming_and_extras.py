@@ -774,3 +774,41 @@ def test_streaming_sessionize_parity_with_batch(spark, tmp_path):
             for r in sessionize(events, gap_minutes=30).collect()}
     assert len(got) == n
     assert got == want
+
+
+def test_connected_components_chain_clique_and_canonical(spark):
+    """Pairs -> clusters: a 12-link chain must collapse to its minimum
+    (pointer jumping, not 1-hop propagation), a clique and an isolated
+    pair label correctly, and drop_near_dup_docs keeps exactly one doc
+    per cluster plus all unpaired docs."""
+    from syslog_loose_spark.functions.dedup import (
+        connected_components, drop_near_dup_docs, unpersist_tracked)
+
+    pairs = ([(i, i + 1) for i in range(12)]
+             + [(50, 52), (52, 54), (50, 54), (80, 81)])
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    exp = ({i: 0 for i in range(13)}
+           | {50: 50, 52: 50, 54: 50, 80: 80, 81: 80})
+    assert got == exp
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in sorted(exp) + [999]],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in drop_near_dup_docs(docs, df).collect())
+    assert kept == [0, 50, 80, 999]
+    unpersist_tracked()
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter too small for the diameter must raise loudly, never
+    return partially-merged clusters."""
+    import pytest as _pytest
+
+    from syslog_loose_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "a long, b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1).collect()
