@@ -1220,6 +1220,86 @@ ORDER BY a, b
 """
 
 
+_MD5_FRAC = ("CAST(concat('0x', substr(md5('{tag}' || CAST({col} AS "
+             "VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0")
+
+
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash of the id — no
+    shuffle, rerun-stable, growth-stable) summarized per (split, lang)."""
+    from syslog_loose_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = hash_split(docs, [("train", 0.90), ("val", 0.05),
+                               ("test", 0.05)])
+    return (tagged.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split", "lang"))
+
+
+def _oracle_corpus_hash_split() -> str:
+    frac = _MD5_FRAC.format(tag="split-", col="doc_id")
+    return f"""
+SELECT split, lang, COUNT(*) AS n FROM (
+  SELECT CASE WHEN {frac} < 0.90 THEN 'train'
+              WHEN {frac} < 0.95 THEN 'val'
+              ELSE 'test' END AS split, lang
+  FROM documents)
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def q_stratified_sample_by_lang(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, md5-ranked — pseudo-random,
+    deterministic, rerun-stable per-stratum quota sampling."""
+    from syslog_loose_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang", 5)
+            .select("lang", "doc_id").orderBy("lang", "doc_id"))
+
+
+def _oracle_stratified_sample() -> str:
+    frac = _MD5_FRAC.format(tag="strat-", col="doc_id")
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {frac}, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 5 ORDER BY lang, doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-concatenation packing (GPT-style pretraining prep):
+    md5-sharded, head-to-tail in id order within each shard, cut into
+    4096-char bins; (shard, bin, offset) per document.  Shards pack in
+    parallel — the window never sees more than one shard."""
+    from syslog_loose_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return (pack_sequences(docs, budget=4096, n_shards=8)
+            .select("doc_id", "shard", "bin", "offset", "n_chars")
+            .orderBy("doc_id"))
+
+
+def _oracle_pack_sequences() -> str:
+    shard = ("CAST(concat('0x', substr(md5('pack-' || CAST(doc_id AS "
+             "VARCHAR)), 1, 8)) AS BIGINT) % 8")
+    return f"""
+SELECT doc_id, shard, CAST(cum_before // 4096 AS BIGINT) AS bin,
+       cum_before % 4096 AS offset, n_chars FROM (
+  SELECT doc_id, {shard} AS shard, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY {shard} ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
     simhash pair graph (transitivity — a~b, b~c collapse to one cluster
@@ -1813,6 +1893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "dedup_components": q_dedup_components,
+        "corpus_hash_split": q_corpus_hash_split,
+        "stratified_sample_by_lang": q_stratified_sample_by_lang,
+        "pack_sequences": q_pack_sequences,
         "near_dup_keep_canonical": q_near_dup_keep_canonical,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1863,6 +1946,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "dedup_components": _oracle_dedup_components(),
+        "corpus_hash_split": _oracle_corpus_hash_split(),
+        "stratified_sample_by_lang": _oracle_stratified_sample(),
+        "pack_sequences": _oracle_pack_sequences(),
         "near_dup_keep_canonical": _oracle_near_dup_keep_canonical(),
         "ann_lsh_topk": _oracle_ann_lsh(),
         "ann_ivf_topk": _oracle_ann_ivf(),

@@ -1,0 +1,100 @@
+"""Dataset assembly operators for training-data pipelines: deterministic
+splits, stratified sampling, and sequence packing.
+
+Everything here is hash-derived (md5 — the repo's portable hash, identical
+in Spark and DuckDB) and window/aggregate expressible, so each operator is
+exactly oracle-checkable AND rerun-stable: re-executing on the same corpus
+yields byte-identical assignments, which is what makes splits auditable
+and training jobs resumable.
+
+Scale shapes:
+  * hash_split        — one projection, no shuffle: split membership is a
+                        pure function of the id.
+  * stratified_sample — one shuffle on the stratum key + in-partition
+                        rank; the md5 order makes the per-stratum sample
+                        pseudo-random yet deterministic.
+  * pack_sequences    — shard-parallel running sums (window per shard),
+                        the chunked-concatenation packing used for
+                        GPT-style pretraining: documents are laid head to
+                        tail within a shard and cut into fixed-budget
+                        bins, so a document may straddle two bins (that
+                        is the production semantics — the alternative,
+                        greedy whole-doc bin packing, is inherently
+                        sequential).  Shards scale the packing across
+                        executors; n_shards bounds per-task state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_U32 = 4294967296.0
+
+
+def _hash_frac(tag: str, id_col: Column) -> Column:
+    """Uniform [0,1) fraction from md5(tag || id) — first 32 bits."""
+    h = F.md5(F.concat(F.lit(tag), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / F.lit(_U32))
+
+
+def hash_split(df: DataFrame, weights: list[tuple[str, float]],
+               id_col: str = "doc_id",
+               out_col: str = "split") -> DataFrame:
+    """Assign every row to a named split with the given weights,
+    deterministically in the id.  ``weights`` is an ordered list of
+    (name, weight) summing to ~1.0; the last split absorbs rounding.
+    Membership is a pure per-row function — no shuffle, no state, and a
+    row's split never changes when the corpus grows (the property that
+    keeps eval sets uncontaminated across crawls)."""
+    frac = _hash_frac("split-", F.col(id_col))
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exactly ``n_per_group`` rows per stratum (fewer if the stratum is
+    smaller), chosen by md5 rank — pseudo-random but deterministic and
+    rerun-stable.  One shuffle on the stratum key; the in-partition sort
+    is bounded by the stratum size (use hash_split-style filters first if
+    a stratum can exceed a task)."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_frac("strat-", F.col(id_col)), id_col)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_per_group)
+            .drop("_rk"))
+
+
+def pack_sequences(df: DataFrame, budget: int, n_shards: int = 16,
+                   id_col: str = "doc_id",
+                   size_col: str = "n_chars") -> DataFrame:
+    """Chunked-concatenation packing: within each (md5-derived) shard,
+    documents are laid head to tail in id order and cut into fixed
+    ``budget``-sized bins.  Emits (id, shard, bin, offset) where offset
+    is the document's start position inside its bin; a document whose
+    span crosses a boundary continues into bin+1 (exactly how GPT-style
+    pretraining concatenates and chunks).  Window per shard — shards
+    pack in parallel, and the global order is deterministic."""
+    shard = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("pack-"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % n_shards).alias("shard")
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (df.select(F.col(id_col), F.col(size_col).alias("sz"), shard)
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("sz").over(w), F.lit(0)))
+           .select(
+               id_col, "shard",
+               (F.col("cum_before") / budget).cast("long").alias("bin"),
+               (F.col("cum_before") % budget).alias("offset"),
+               F.col("sz").alias(size_col)))
+    return out

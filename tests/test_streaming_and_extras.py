@@ -812,3 +812,50 @@ def test_connected_components_nonconvergence_raises(spark):
                                   "a long, b long")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iter=1).collect()
+
+
+def test_sampling_operators_invariants(spark):
+    """hash_split: complete partition, deterministic, roughly weighted;
+    stratified_sample: exact quota per stratum, rerun-stable;
+    pack_sequences: offsets in [0, budget), per-shard bins contiguous
+    from 0, cumulative sizes consistent."""
+    from syslog_loose_spark.functions.sampling import (
+        hash_split, pack_sequences, stratified_sample)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+
+    tagged = hash_split(docs, [("train", 0.9), ("val", 0.05),
+                               ("test", 0.05)])
+    counts = {r["split"]: r["n"] for r in
+              tagged.groupBy("split").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert counts["train"] > 0.8 * n
+    assert set(counts) == {"train", "val", "test"}
+    again = {r["split"]: r["n"] for r in
+             hash_split(docs, [("train", 0.9), ("val", 0.05),
+                               ("test", 0.05)])
+             .groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert again == counts  # rerun-stable
+
+    strat = stratified_sample(docs, "lang", 5).collect()
+    per = {}
+    for r in strat:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert all(v == 5 for v in per.values()) and len(per) == 5
+
+    packed = pack_sequences(docs, budget=4096, n_shards=8).collect()
+    assert len(packed) == n
+    by_shard = {}
+    for r in packed:
+        assert 0 <= r["offset"] < 4096
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        bins = sorted({r["bin"] for r in rows})
+        assert bins[0] == 0 and bins == list(range(bins[-1] + 1)), shard
+        total = sum(r["n_chars"] for r in rows)
+        last = max(rows, key=lambda r: (r["bin"], r["offset"]))
+        assert last["bin"] * 4096 + last["offset"] + last["n_chars"] \
+            == total
