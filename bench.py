@@ -334,7 +334,8 @@ def main() -> None:
              "ann_cosine_topk", "embedding_norms", "bpe_token_count",
              "simhash_near_dups", "embedding_near_dups",
              "events_quantiles_approx", "term_doc_freq",
-             "minhash_jaccard_est")
+             "minhash_jaccard_est", "dedup_components",
+             "corpus_hash_split", "pack_sequences")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

@@ -204,3 +204,24 @@ def test_ivf_refined_cents_cached_not_recomputed(spark):
     plan = _plan(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
     unpersist_tracked()
+
+
+def test_hash_split_is_pure_projection_no_exchange(spark):
+    """Split assignment must be a per-row function: any Exchange means
+    the operator would reshuffle 100 TB for a column derivable in the
+    scan projection."""
+    from syslog_loose_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(hash_split(docs, [("train", 0.9), ("val", 0.1)]))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Packing shuffles ONCE on the shard key; the running sum stays
+    inside each shard's window partition."""
+    from syslog_loose_spark.functions.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=4096, n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
