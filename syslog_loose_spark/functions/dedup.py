@@ -387,9 +387,14 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     check and the previous one unpersisted, so peak storage is two label
     frames + the edge set.  Raises RuntimeError if ``max_iter`` rounds
     don't converge (loud, never silently-wrong clusters)."""
-    edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-             .union(pairs.select(F.col(b_col).alias("x"),
-                                 F.col(a_col).alias("y")))
+    # single-pass undirected expansion: a union of pairs with its swap
+    # would evaluate the (expensive — banded-join) pair subtree TWICE;
+    # exploding both directions out of one row reads it once
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(a_col).alias("x"), F.col(b_col).alias("y")),
+                F.struct(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+             )).alias("e"))
+             .select("e.x", "e.y")
              .distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
     try:
