@@ -745,9 +745,13 @@ def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic at rank ceil(p*n) — verified empirically across n in
     1..4096 and mirrored in DuckDB as list_sort(list(value))[ceil(p*n)].
     Beyond the accuracy the result degrades gracefully to rank error
-    <= n/accuracy while memory stays O(accuracy log n) per group."""
+    <= n/accuracy while memory stays O(accuracy log n) per group.
+    accuracy = 50000 keeps the oracle exact through sf0.1's ~20k-row
+    groups (the largest local testdata), not just the driver's sf0.01 —
+    at real scale you'd run with the 10^4 default and accept the rank
+    error bound."""
     ev = _t(spark, sf_dir, "events")
-    acc = 10000
+    acc = 50000
     return (
         ev.groupBy("event_type")
         .agg(F.round(F.expr(f"approx_percentile(value, 0.5, {acc})"), 4)
