@@ -1224,6 +1224,41 @@ ORDER BY a, b
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals (duplicate-word
+    fraction + top-bigram fraction) per document — the published-standard
+    boilerplate filters, as two-level hash aggregations."""
+    from syslog_loose_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def _oracle_repetition_stats() -> str:
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+word_stats AS (
+  SELECT doc_id, len(ws) AS n_words,
+         ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+             AS dup_word_frac
+  FROM w),
+bgs AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in range(1, len(ws))]) AS bg
+  FROM w WHERE len(ws) >= 2),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_bg FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT ws.doc_id AS doc_id, CAST(n_words AS INT) AS n_words,
+       dup_word_frac,
+       ROUND(COALESCE(CAST(top_c AS DOUBLE) / total_bg, 0.0), 4)
+           AS top_bigram_frac
+FROM word_stats ws LEFT JOIN top USING (doc_id) ORDER BY doc_id
+"""
+
+
 _MD5_FRAC = ("CAST(concat('0x', substr(md5('{tag}' || CAST({col} AS "
              "VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0")
 
@@ -1898,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "dedup_components": q_dedup_components,
         "corpus_hash_split": q_corpus_hash_split,
+        "repetition_stats": q_repetition_stats,
         "stratified_sample_by_lang": q_stratified_sample_by_lang,
         "pack_sequences": q_pack_sequences,
         "near_dup_keep_canonical": q_near_dup_keep_canonical,
@@ -1951,6 +1987,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _oracle_simhash_near_dups(),
         "dedup_components": _oracle_dedup_components(),
         "corpus_hash_split": _oracle_corpus_hash_split(),
+        "repetition_stats": _oracle_repetition_stats(),
         "stratified_sample_by_lang": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "near_dup_keep_canonical": _oracle_near_dup_keep_canonical(),

@@ -106,3 +106,47 @@ def normalize_text(text: Column) -> Column:
     keeps Java-regex and RE2/DuckDB semantics identical."""
     collapsed = F.regexp_replace(F.lower(text), "[ \t\r\n]+", " ")
     return F.trim(collapsed)
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/C4-style repetition signals per document:
+
+      * dup_word_frac   — 1 − distinct words / total words (how much of
+                          the doc is repeated vocabulary)
+      * top_bigram_frac — occurrences of the most frequent word bigram /
+                          total bigrams (boilerplate & template pages
+                          score high)
+
+    Published-standard quality filters (Rae et al. 2021 "Gopher" §A1.1;
+    C4's repetition heuristics) complementing the stopword/punct/length
+    scorer.  Scale shape: explode → two-level hash aggregation — the
+    per-(doc, gram) combine is map-side partial, so the shuffle carries
+    distinct grams per doc, never raw token streams; no per-row O(n²)
+    array scans.  Returns (id, n_words, dup_word_frac, top_bigram_frac).
+    """
+    w = words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), w.alias("w"))
+    word_stats = base.select(
+        "id",
+        F.size("w").alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct("w"))
+                / F.size("w"), 4).alias("dup_word_frac"))
+    bigrams = base.select(
+        "id",
+        F.explode(F.when(
+            F.size("w") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("w") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("w", i),
+                            F.element_at("w", i + 1)))
+        ).otherwise(F.array())).alias("bg"))
+    top = (bigrams.groupBy("id", "bg")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("id")
+           .agg(F.max("c").alias("top_c"),
+                F.sum("c").alias("total_bg")))
+    return (word_stats.join(top, "id", "left")
+            .select(F.col("id").alias(id_col), "n_words", "dup_word_frac",
+                    F.round(F.coalesce(F.col("top_c") / F.col("total_bg"),
+                                       F.lit(0.0)), 4)
+                     .alias("top_bigram_frac")))
