@@ -335,7 +335,7 @@ def main() -> None:
              "simhash_near_dups", "embedding_near_dups",
              "events_quantiles_approx", "term_doc_freq",
              "minhash_jaccard_est", "dedup_components",
-             "corpus_hash_split", "pack_sequences")
+             "corpus_hash_split", "pack_sequences", "repetition_stats")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
