@@ -1224,6 +1224,99 @@ ORDER BY a, b
 """
 
 
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation flow in one composed plan — every operator
+    family chained: language filter -> quality floor -> Gopher repetition
+    caps -> simhash near-dup clustering -> canonical keep.  What a real
+    100-TB training-set build runs end to end, here over the verified
+    operators with an exact DuckDB twin."""
+    from syslog_loose_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (docs.where(T.lang_id(F.col("text")) == "en")
+            .where(T.quality_score(F.col("text")) >= 0.5))
+    rep_ok = (repetition_stats(keep)
+              .where((F.col("dup_word_frac") <= 0.65)
+                     & (F.col("top_bigram_frac") <= 0.06))
+              .select("doc_id"))
+    keep2 = keep.join(rep_ok, "doc_id")
+    pairs = D.simhash_near_dups(keep2, max_hamming=3, bands=4)
+    final = D.drop_near_dup_docs(keep2, pairs)
+    return (final.select(
+                "doc_id",
+                T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+                F.round(T.quality_score(F.col("text")), 4).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def _oracle_curation_full() -> str:
+    sw_en = ",".join(_sql_quote(s) for s in T.EN_STOPWORDS)
+    sw_de = ",".join(_sql_quote(s) for s in T.DE_STOPWORDS)
+    simhash = _simhash_cte(
+        "WHERE doc_id IN (SELECT doc_id FROM keep2)").strip()
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id AS id, simhash AS sh2, {b} AS band, "
+        f"(simhash >> {b * 16}) & 65535 AS key FROM simh"
+        for b in range(4))
+    return f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+      FROM documents),
+m AS (SELECT doc_id, text,
+             len(ws) AS n,
+             len(list_filter(ws, x -> x IN ({sw_en}))) AS en,
+             len(list_filter(ws, x -> x IN ({sw_de}))) AS de,
+             len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+             len(text) AS tlen
+      FROM w),
+q AS (SELECT doc_id, text, n,
+             (least(n / 50.0, 1.0)
+              + least(en * 1.0 / greatest(n, 1) * 5.0, 1.0)
+              + (1.0 - least(punct * 1.0 / greatest(tlen, 1) * 4.0, 1.0)))
+             / 3.0 AS quality
+      FROM m
+      WHERE en > de AND en > 0),
+keep AS (SELECT * FROM q WHERE quality >= 0.5),
+rw AS (SELECT doc_id, string_split(text, ' ') AS ws0 FROM keep),
+rstats AS (SELECT doc_id,
+                  ROUND(1.0 - CAST(len(list_distinct(ws0)) AS DOUBLE)
+                        / len(ws0), 4) AS dwf
+           FROM rw),
+rbg AS (SELECT doc_id,
+               unnest([ws0[i] || ' ' || ws0[i + 1]
+                       for i in range(1, len(ws0))]) AS bg
+        FROM rw WHERE len(ws0) >= 2),
+rtop AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM (
+           SELECT doc_id, bg, COUNT(*) AS c FROM rbg
+           GROUP BY doc_id, bg) GROUP BY doc_id),
+repok AS (SELECT s.doc_id FROM rstats s LEFT JOIN rtop t USING (doc_id)
+          WHERE s.dwf <= 0.65
+            AND ROUND(COALESCE(CAST(top_c AS DOUBLE) / tot, 0.0), 4)
+                <= 0.06),
+keep2 AS (SELECT k.* FROM keep k JOIN repok USING (doc_id)),
+{simhash},
+sliced AS ({bands}),
+okb AS (SELECT band, key FROM sliced GROUP BY band, key
+        HAVING COUNT(*) <= 1000),
+capped AS (SELECT sliced.* FROM sliced JOIN okb USING (band, key)),
+prs AS (SELECT DISTINCT x.id AS a, y.id AS b
+        FROM capped x JOIN capped y USING (band, key)
+        WHERE x.id < y.id AND bit_count(xor(x.sh2, y.sh2)) <= 3),
+und AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach(x, y) AS (
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+comp AS (SELECT x AS node, LEAST(x, MIN(y)) AS component
+         FROM reach GROUP BY x)
+SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens,
+       ROUND(k.quality, 4) AS quality
+FROM keep2 k
+WHERE k.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY k.doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals (duplicate-word
     fraction + top-bigram fraction) per document — the published-standard
@@ -1934,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "corpus_hash_split": q_corpus_hash_split,
         "repetition_stats": q_repetition_stats,
+        "curation_full": q_curation_full,
         "stratified_sample_by_lang": q_stratified_sample_by_lang,
         "pack_sequences": q_pack_sequences,
         "near_dup_keep_canonical": q_near_dup_keep_canonical,
@@ -1988,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _oracle_dedup_components(),
         "corpus_hash_split": _oracle_corpus_hash_split(),
         "repetition_stats": _oracle_repetition_stats(),
+        "curation_full": _oracle_curation_full(),
         "stratified_sample_by_lang": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "near_dup_keep_canonical": _oracle_near_dup_keep_canonical(),
