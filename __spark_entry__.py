@@ -1422,7 +1422,7 @@ def _oracle_pack_sequences() -> str:
              "VARCHAR)), 1, 8)) AS BIGINT) % 8")
     return f"""
 SELECT doc_id, shard, CAST(cum_before // 4096 AS BIGINT) AS bin,
-       cum_before % 4096 AS offset, n_chars FROM (
+       CAST(cum_before % 4096 AS BIGINT) AS offset, n_chars FROM (
   SELECT doc_id, {shard} AS shard, n_chars,
          COALESCE(SUM(n_chars) OVER (PARTITION BY {shard} ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

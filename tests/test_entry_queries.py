@@ -1,12 +1,23 @@
 """Local simulation of the driver's correctness gate: run each
 __spark_entry__.queries() entry and its oracle_sql() side by side on
-sf0.01, compare row count, column names, and order-insensitive values.
+sf0.01, compare row count, column names, ARROW TYPES, and
+order-insensitive values.
+
+The Arrow-type comparison is the r4 lesson (VERDICT r4 item 2): the
+driver hashes Arrow batches, so a DuckDB HUGEINT (window/aggregate SUM
+arithmetic left uncast) arrives as decimal128 and hash-mismatches
+Spark's int64 even when every value is identical.  `fetchall()` coerces
+those to Python ints and hides the class entirely — both sides are
+therefore fetched via Arrow here and their canonical type classes
+asserted before any value compare.
 """
 
 import math
 import os
+from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -26,11 +37,62 @@ def duck():
 
 
 def _norm(v):
+    if isinstance(v, Decimal):
+        # Value-compare coercion ONLY — the type gate above has already
+        # failed if a Decimal reached here on one side but not the other.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return round(v, 6)
     return v
+
+
+def _type_class(t: pa.DataType) -> str:
+    """Canonical Arrow type class: what the driver's value hash is
+    sensitive to.  string/large_string collapse (encoding detail);
+    timestamp tz is ignored (session-pinned UTC vs DuckDB-naive render
+    identically); decimal vs integer vs float do NOT collapse."""
+    if pa.types.is_unsigned_integer(t):
+        return f"uint{t.bit_width}"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_date(t):
+        return "date"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return f"list<{_type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return ("struct<" + ",".join(
+            f"{f.name}:{_type_class(f.type)}" for f in t) + ">")
+    return str(t)
+
+
+def _arrow_type_mismatches(spark_schema: pa.Schema,
+                           duck_schema: pa.Schema) -> list:
+    """Per-column (name, spark_class, duck_class) triples that differ,
+    matching columns by lowercased name (the driver sorts by name)."""
+    s = {f.name.lower(): _type_class(f.type) for f in spark_schema}
+    d = {f.name.lower(): _type_class(f.type) for f in duck_schema}
+    return [(c, s.get(c), d.get(c))
+            for c in sorted(set(s) | set(d)) if s.get(c) != d.get(c)]
+
+
+def _arrow_rows(tbl: pa.Table):
+    cols = [c.to_pylist() for c in tbl.columns]
+    return list(zip(*cols)) if cols else []
 
 
 def _rows(rows, cols):
@@ -45,22 +107,53 @@ QUERIES = entry_mod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_vs_oracle(name, spark, duck):
-    df = QUERIES[name](spark, SF_DIR)
-    spark_cols = [c.lower() for c in df.columns]
-    spark_rows = [tuple(r) for r in df.collect()]
+    stbl = QUERIES[name](spark, SF_DIR).toArrow()
+    spark_cols = [c.lower() for c in stbl.schema.names]
+    spark_rows = _arrow_rows(stbl)
 
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    dtbl = duck.execute(ORACLES[name]).arrow()
+    duck_cols = [c.lower() for c in dtbl.schema.names]
+    duck_rows = _arrow_rows(dtbl)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: columns {spark_cols} vs {duck_cols}")
+    bad_types = _arrow_type_mismatches(stbl.schema, dtbl.schema)
+    assert not bad_types, (
+        f"{name}: Arrow type mismatch (col, spark, duck): {bad_types} — "
+        "the driver hashes Arrow values, so this is a gate red even if "
+        "every value is equal (r4 pack_sequences HUGEINT lesson)")
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}")
     a = _rows(spark_rows, spark_cols)
     b = _rows(duck_rows, duck_cols)
     mism = [(x, y) for x, y in zip(a, b) if x != y][:5]
     assert a == b, f"{name}: first mismatches {mism}"
+
+
+def test_gate_catches_uncast_hugeint(duck):
+    """Regression for the r4 driver red: the pack_sequences oracle with
+    `offset` left uncast (DuckDB window SUM → HUGEINT → decimal128 under
+    Arrow) must FAIL the Arrow-type gate, and the fixed oracle must pass
+    it, against the engine's published int64 contract."""
+    buggy = entry_mod.oracle_sql()["pack_sequences"].replace(
+        "CAST(cum_before % 4096 AS BIGINT) AS offset",
+        "cum_before % 4096 AS offset")
+    assert buggy != entry_mod.oracle_sql()["pack_sequences"]
+    engine_schema = pa.schema([
+        ("doc_id", pa.int64()), ("shard", pa.int64()),
+        ("bin", pa.int64()), ("offset", pa.int64()),
+        ("n_chars", pa.int64())])
+
+    bad = _arrow_type_mismatches(
+        engine_schema, duck.execute(buggy).arrow().schema)
+    assert any(c == "offset" and "decimal" in (d or "")
+               for c, _, d in bad), bad
+
+    good = _arrow_type_mismatches(
+        engine_schema,
+        duck.execute(entry_mod.oracle_sql()["pack_sequences"])
+        .arrow().schema)
+    assert good == [], good
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
