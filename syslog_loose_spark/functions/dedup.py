@@ -51,8 +51,9 @@ def _drop(df: DataFrame) -> None:
         pass
 
 
-def _track(df: DataFrame) -> DataFrame:
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+def _register(df: DataFrame) -> DataFrame:
+    """Put an ALREADY-persisted frame under the bounded registry (same
+    eviction path as _track, without a second persist)."""
     with _PERSISTED_LOCK:
         _PERSISTED.append(df)
         evict = _PERSISTED[:-_MAX_LIVE]
@@ -60,6 +61,10 @@ def _track(df: DataFrame) -> DataFrame:
     for old in evict:
         _drop(old)
     return df
+
+
+def _track(df: DataFrame) -> DataFrame:
+    return _register(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def unpersist_tracked() -> int:
@@ -429,10 +434,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
             labels.unpersist()
             labels = jumped
             if changed == 0:
-                # registered so callers release it like the other
-                # near-dup caches (unpersist_tracked after materializing)
-                with _PERSISTED_LOCK:
-                    _PERSISTED.append(labels)
+                # registered through the same bounded-eviction path as
+                # every other near-dup cache (_MAX_LIVE holds; callers
+                # still unpersist_tracked() after materializing)
+                _register(labels)
                 return labels.select(F.col("x").alias("node"),
                                      F.col("lbl").alias("component"))
         raise RuntimeError(

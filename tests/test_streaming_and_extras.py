@@ -445,6 +445,20 @@ def test_persist_registry_bounded_and_releasable(spark):
     assert D.unpersist_tracked() == 0
 
 
+def test_persist_registry_bounded_across_cc_calls(spark):
+    """VERDICT r4 item 5: connected_components' converged labels frame
+    must go through the bounded registry too — repeated CC calls in a
+    long-lived session may never hold more than _MAX_LIVE live caches."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["a", "b"])
+    D.unpersist_tracked()
+    for _ in range(4):
+        D.connected_components(edges).count()
+        assert len(D._PERSISTED) <= D._MAX_LIVE
+    assert D.unpersist_tracked() <= D._MAX_LIVE
+    assert not D._PERSISTED
+
+
 def test_unresolved_auto_salting_fails_loudly(spark, tmp_path):
     """ADVICE r2: hot_sources=None ('auto') reaching the router directly
     (outside run_pipeline, e.g. a hand-built streaming writer) must raise,
