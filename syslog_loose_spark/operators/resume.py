@@ -50,11 +50,17 @@ def commit_chunk(spark: SparkSession, state_dir: str, run_id: str,
                  chunk: int, metrics: DataFrame) -> None:
     """Append this chunk's metrics rows and its commit marker in ONE
     atomic write job.  The contract is 'state is only believed if the
-    marker exists'; a single FileOutputCommitter append publishes both or
-    neither (task files move into place only at job commit), which
-    preserves that while halving the fixed per-chunk job latency the old
-    two-append sequence paid (r3 VERDICT item 2: flat costs dominate the
-    wide-run tail)."""
+    marker exists' — i.e. marker-implies-metrics.  A single append job is
+    NOT enough on its own: FileOutputCommitter renames task files into
+    place sequentially at job commit, so with the marker in its own
+    partition a crash mid-commit could publish the marker while metrics
+    files are still pending (ADVICE r4).  Coalescing the unioned frame to
+    ONE partition puts marker and metrics rows in the SAME task file, so
+    the rename that publishes the marker publishes every metrics row with
+    it — a true all-or-nothing publish that keeps the single-job latency
+    win (r3 VERDICT item 2: flat per-chunk job costs dominate the
+    wide-run tail).  Chunk metrics are a handful of aggregate rows per
+    sink, so one partition costs nothing at any scale."""
     m = (metrics
          .withColumn("run_id", F.lit(run_id))
          .withColumn("kind", F.lit("metrics"))
@@ -63,4 +69,5 @@ def commit_chunk(spark: SparkSession, state_dir: str, run_id: str,
     marker = spark.createDataFrame(
         [(run_id, "chunk_commit", chunk, None, None, None, None, None, None)],
         STATE_SCHEMA)
-    m.unionByName(marker).write.mode("append").parquet(state_dir)
+    (m.unionByName(marker).coalesce(1)
+     .write.mode("append").parquet(state_dir))

@@ -153,6 +153,30 @@ def test_resume_idempotent(spark, tmp_path):
     assert m == 200
 
 
+def test_commit_chunk_marker_and_metrics_share_one_file(spark, tmp_path):
+    """ADVICE r4: marker-implies-metrics needs marker and metrics rows in
+    ONE task file — FileOutputCommitter renames files sequentially at job
+    commit, so a marker in its own file could be published while metrics
+    files are still pending.  Each commit_chunk append must therefore
+    produce exactly one parquet part file containing both kinds."""
+    import glob
+
+    from syslog_loose_spark.operators.resume import (
+        STATE_SCHEMA, commit_chunk)
+
+    state = str(tmp_path / "state")
+    metrics = spark.createDataFrame(
+        [("x", "metrics", 0, "s", "src", "hi", 7, None, 21)], STATE_SCHEMA)
+    for chunk in (0, 1):
+        before = set(glob.glob(os.path.join(state, "part-*")))
+        commit_chunk(spark, state, "rX", chunk,
+                     metrics.drop("run_id", "kind", "chunk"))
+        new = sorted(set(glob.glob(os.path.join(state, "part-*"))) - before)
+        assert len(new) == 1, new
+        kinds = {r["kind"] for r in spark.read.parquet(new[0]).collect()}
+        assert kinds == {"metrics", "chunk_commit"}
+
+
 def test_sink_write_plan_is_single_shuffle(spark):
     """The routed plan must contain exactly one Exchange (the salted
     repartition) and one ArrowEvalPython-ish Python stage."""
