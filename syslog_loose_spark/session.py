@@ -52,7 +52,11 @@ def get_spark(app_name: str = "syslog-loose-spark",
         # fat-row tasks ParallelGC measured ~6% less CPU and ~5% less
         # wall than the G1 default on the e2e fan-out (interleaved A/B);
         # a bigger heap (20g) was WORSE than 8g under both collectors
-        # (locality), so the heap stays deliberately small
+        # (locality), so the heap stays deliberately small.
+        # PYTHON-LAUNCH ONLY: under spark-submit the driver JVM already
+        # exists, so this conf is silently ignored — the e2e recipe
+        # passes --driver-java-options -XX:+UseParallelGC on the CLI
+        # (.claude/skills/verify/SKILL.md), same class as --driver-memory
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
