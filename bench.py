@@ -227,13 +227,25 @@ def kernel_scaling(cpus: int, rows_per_proc: int = 300_000) -> dict:
     return out
 
 
+def _cpu_all() -> float:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    return sum(int(x) for x in parts[:3]) / os.sysconf("SC_CLK_TCK")
+
+
 def heavy_near_dup_bench(spark) -> dict:
     """Larger-scale datapoints for the two banded-join operators (r2
     VERDICT item 7): synthetic hash-derived corpora far past the sf0.1
     table sizes, so the bucket self-join — not fixed overhead — dominates.
     Every 100th row is a planted near-dup of its predecessor; the planted
     count doubles as a recall sanity check recorded next to the timing.
-    Deterministic (xxhash64/md5 of the row id), no external data."""
+    Deterministic (xxhash64/md5 of the row id), no external data.
+
+    Runs in its OWN pinned fresh subprocess (r4 VERDICT item 3: after 25
+    best-of-2 queries the long-lived bench session recorded a 197 s
+    outlier for an operation that reproduces at 8-13 s in a fresh
+    session); machine-CPU and cores_busy are recorded per datapoint so an
+    outlier window is self-diagnosing (starved vs slow-clocked)."""
     from pyspark.sql import functions as F
 
     from syslog_loose_spark.functions.dedup import (
@@ -267,32 +279,68 @@ def heavy_near_dup_bench(spark) -> dict:
 
     def best_of(n, fn):
         """Single-shot timings swing 2x on the shared VM (same reason the
-        per-query section is best-of-2); min of n runs."""
+        per-query section is best-of-2); min of n runs, with the best
+        rep's machine-CPU/cores_busy kept for self-diagnosis."""
         best, pairs = None, None
         for _ in range(n):
-            t0 = time.perf_counter()
+            c0, t0 = _cpu_all(), time.perf_counter()
             pairs = fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            cpu = _cpu_all() - c0
+            if best is None or dt < best[0]:
+                best = (dt, cpu)
             unpersist_tracked()
-        return round(best, 3), int(pairs)
+        return (round(best[0], 3), round(best[1], 1),
+                round(best[1] / best[0], 1), int(pairs))
 
     out: dict = {}
     n_docs = 200_000
-    sec, pairs = best_of(2, lambda: simhash_near_dups(
+    sec, cpu, busy, pairs = best_of(2, lambda: simhash_near_dups(
         synth_docs(n_docs), max_hamming=3, bands=4).count())
     out["simhash_near_dups_200k_docs"] = {
-        "sec": sec, "rows": n_docs, "pairs": pairs}
+        "sec": sec, "machine_cpu_sec": cpu, "cores_busy": busy,
+        "rows": n_docs, "pairs": pairs}
     n_vecs = 80_000
     # 10 planes/band: bucket occupancy ~ n/2^planes must stay under the
     # bucket cap — plane count scales with corpus size (see similarity.py)
     planes = plane_bands(n_bands=2, n_planes=10, dim=64)
-    sec, pairs = best_of(2, lambda: embedding_near_dups(
+    sec, cpu, busy, pairs = best_of(2, lambda: embedding_near_dups(
         synth_emb(n_vecs), threshold=0.95, planes=planes).count())
     out["embedding_near_dups_80k_vecs"] = {
-        "sec": sec, "rows": n_vecs, "pairs": pairs,
-        "planted": n_vecs // 100}
+        "sec": sec, "machine_cpu_sec": cpu, "cores_busy": busy,
+        "rows": n_vecs, "pairs": pairs, "planted": n_vecs // 100}
     return out
+
+
+_HEAVY_CHILD_PROG = r'''
+import json, os, sys
+sys.path.insert(0, "/root/repo")
+from bench import heavy_near_dup_bench
+from syslog_loose_spark.session import get_spark
+
+slots, local_root = int(sys.argv[1]), sys.argv[2]
+local_dir = os.path.join(local_root, "scratch_heavy")
+os.makedirs(local_dir, exist_ok=True)
+spark = get_spark("bench-heavy", cpus=slots, local_dir=local_dir)
+print("RESULT " + json.dumps(heavy_near_dup_bench(spark)), flush=True)
+spark.stop()
+'''
+
+
+def run_heavy_pinned(ncpu: int, work: str) -> dict:
+    """Heavy near-dup datapoints in a PINNED FRESH subprocess, exactly
+    like the e2e scaling children — the long-lived bench session is not a
+    robust harness for minutes-scale joins (r4: 197 s recorded for an
+    8-13 s operation after 25 prior queries)."""
+    cpus = ",".join(str(i) for i in range(ncpu))
+    out = subprocess.run(
+        ["taskset", "-c", cpus, sys.executable, "-c", _HEAVY_CHILD_PROG,
+         str(_slots(ncpu)), work],
+        capture_output=True, text=True, cwd="/root/repo")
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1].split(" ", 1)[1])
 
 
 def main() -> None:
@@ -335,7 +383,12 @@ def main() -> None:
              "simhash_near_dups", "embedding_near_dups",
              "events_quantiles_approx", "term_doc_freq",
              "minhash_jaccard_est", "dedup_components",
-             "corpus_hash_split", "pack_sequences", "repetition_stats")
+             "corpus_hash_split", "pack_sequences", "repetition_stats",
+             # r4 VERDICT item 6: the composed curation plan is the most
+             # production-shaped query in the registry — bench it, plus
+             # the cluster-canonical keep and the stratified sampler
+             "curation_full", "near_dup_keep_canonical",
+             "stratified_sample_by_lang")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
@@ -358,12 +411,15 @@ def main() -> None:
             unpersist_tracked()
         results[name] = round(best, 3)
 
+    spark.stop()
+
     heavy = None
     if os.environ.get("SPARK_GRAFT_SKIP_HEAVY") != "1":
-        heavy = heavy_near_dup_bench(spark)
+        # pinned FRESH subprocess (r4 VERDICT item 3) — never the
+        # long-lived session that just ran the per-query suite
+        heavy = run_heavy_pinned(cpus, work)
         for k, v in heavy.items():
             results[k] = v["sec"]
-    spark.stop()
 
     os.sync()
     scaling = None
@@ -445,16 +501,38 @@ def main() -> None:
         out["scaling_parse_kernel"] = kernel
     if heavy:
         out["heavy_near_dup"] = heavy
-    line = json.dumps(out)
-    # stdout tail-capture by the driver has truncated this line before
-    # (BENCH_r03.json lost the headline metric); persist it to a file too
+    # The FULL object goes to the file; stdout carries a COMPACT line.
+    # The driver's canonical artifact is a ~2000-char stdout tail-capture
+    # (BENCH_r03/r04 were front-truncated to parsed:null), so the printed
+    # line keeps metric/value/queries plus summary scaling numbers and
+    # must stay under that window — the complete decomposition
+    # (per-phase, kernel widths, heavy CPU accounting) lives in
+    # $SPARK_GRAFT_BENCH_OUT (default BENCH_LAST.json, committed).
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT",
                               "/root/repo/BENCH_LAST.json")
     try:
         with open(out_path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
     except OSError:
         pass
+    compact = {k: out[k] for k in
+               ("metric", "value", "unit", "queries", "sf", "rows",
+                "sequences_per_sec")}
+    if scaling:
+        compact["scaling"] = {k: scaling[k] for k in
+                              ("cpus_low", "cpus_high", "sec_low",
+                               "sec_high", "efficiency", "cores_busy_low",
+                               "cores_busy_high") if k in scaling}
+    if kernel:
+        compact["scaling_parse_kernel"] = {
+            k: kernel[k] for k in
+            ("efficiency_1_to_4", "efficiency_2_to_8",
+             "efficiency_n_to_4n_high", "per_core_slowdown_lo_to_hi")
+            if k in kernel}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard cap: stay inside the tail-capture window
+        compact.pop("scaling_parse_kernel", None)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
