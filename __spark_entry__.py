@@ -1899,13 +1899,61 @@ def _oracle_multimodal_real_resize() -> str:
         px = real_png_pixels(i, w, h)
         out = bytes(px[(y * h // 4) * w + (x * w // 5)]
                     for y in range(4) for x in range(5))
-        rows.append(f"({i},5,4,{sum(out)},"
+        rows.append(f"({i},5,4,1,{sum(out)},"
                     f"{binascii.crc32(out) & 0xFFFFFFFF})")
     return f"""
-WITH expected(media_id, width, height, px_sum, px_crc)
+WITH expected(media_id, width, height, channels, px_sum, px_crc)
   AS (VALUES {','.join(rows)})
 SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width,
-       CAST(height AS INT) AS height, CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_crc AS BIGINT) AS px_crc
+FROM expected ORDER BY media_id
+"""
+
+
+def q_multimodal_real_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-COLOR real PNG codec chain (r4 VERDICT item 8):
+    executor-side stdlib encode of genuine 8-bit RGB and RGBA PNGs (all
+    five scanline filters at the 3/4-byte pixel stride) → resize_media
+    (inflate → per-bpp unfilter → whole-pixel nearest resample →
+    re-encode with the same color type) → png_pixel_stats (decode
+    again).  Pixel sum/crc depend only on decoded interleaved pixels."""
+    from syslog_loose_spark.sources.multimodal import (
+        png_pixel_stats, real_media_table, resize_media)
+
+    resized = resize_media(
+        real_media_table(spark, _REAL_MEDIA_N, color=True), 5, 4)
+    return png_pixel_stats(resized).orderBy("media_id")
+
+
+def _oracle_multimodal_real_rgb() -> str:
+    """Expected pixels from real_png_pixels (pure integer arithmetic,
+    channels interleaved) + the whole-pixel nearest-resample index
+    formula — the PNG codec is NEVER invoked oracle-side, so an encode /
+    inflate / unfilter(bpp) / resample bug on the Spark side cannot
+    cancel out of the comparison."""
+    import binascii
+
+    from syslog_loose_spark.sources.multimodal import (
+        real_media_channels, real_media_dims, real_png_pixels)
+
+    rows = []
+    for i in range(_REAL_MEDIA_N):
+        w, h = real_media_dims(i)
+        ch = real_media_channels(i)
+        px = real_png_pixels(i, w, h, ch)
+        out = bytes(
+            px[((y * h // 4) * w + (x * w // 5)) * ch + c]
+            for y in range(4) for x in range(5) for c in range(ch))
+        rows.append(f"({i},5,4,{ch},{sum(out)},"
+                    f"{binascii.crc32(out) & 0xFFFFFFFF})")
+    return f"""
+WITH expected(media_id, width, height, channels, px_sum, px_crc)
+  AS (VALUES {','.join(rows)})
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,
+       CAST(px_sum AS BIGINT) AS px_sum,
        CAST(px_crc AS BIGINT) AS px_crc
 FROM expected ORDER BY media_id
 """
@@ -2049,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_real_resize": q_multimodal_real_resize,
+        "multimodal_real_rgb": q_multimodal_real_rgb,
         "curation_pipeline": q_curation_pipeline,
         "dedup_normalized": q_dedup_normalized,
     }
@@ -2104,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
         "multimodal_real_features": _oracle_multimodal_real_features(),
         "multimodal_real_resize": _oracle_multimodal_real_resize(),
+        "multimodal_real_rgb": _oracle_multimodal_real_rgb(),
         "curation_pipeline": _oracle_curation(),
         "dedup_normalized": _oracle_dedup_normalized(),
     }

@@ -74,31 +74,48 @@ def _paeth(a: int, b: int, c: int) -> int:
     return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
 
-def real_png_pixels(media_id: int, w: int, h: int) -> bytes:
+# PNG color type <-> samples per pixel for the 8-bit types the stdlib
+# codec handles (grayscale / truecolor RGB / truecolor+alpha RGBA)
+_COLOR_TYPE_OF_CHANNELS = {1: 0, 3: 2, 4: 6}
+_CHANNELS_OF_COLOR_TYPE = {0: 1, 2: 3, 6: 4}
+
+
+def real_png_pixels(media_id: int, w: int, h: int,
+                    channels: int = 1) -> bytes:
     """The deterministic pixel field behind real_png_media — pure integer
     arithmetic, so DuckDB oracles can be generated from it without ever
     touching the PNG codec (the independence that makes the driver-contract
-    check meaningful)."""
-    return bytes((media_id * 7 + y * 13 + x * 5) % 256
-                 for y in range(h) for x in range(w))
+    check meaningful).  ``channels`` > 1 interleaves per-channel values
+    (R,G,B[,A] per pixel); channel 0 reproduces the grayscale formula
+    exactly, so existing oracles are unchanged."""
+    return bytes((media_id * 7 + y * 13 + x * 5 + ch * 29) % 256
+                 for y in range(h) for x in range(w)
+                 for ch in range(channels))
 
 
-def real_png_media(media_id: int, w: int, h: int) -> bytes:
-    """A GENUINE 8-bit grayscale PNG (stdlib zlib/struct only),
-    deterministic in media_id.  The scanline filter type cycles y % 5
-    (None/Sub/Up/Average/Paeth), so any consumer that decodes these must
-    implement the complete RFC 2083 filter set — this is what puts the
-    real codec path, not a byte-arithmetic stand-in, under test."""
-    px = real_png_pixels(media_id, w, h)
+def real_png_media(media_id: int, w: int, h: int,
+                   channels: int = 1) -> bytes:
+    """A GENUINE 8-bit PNG (stdlib zlib/struct only), deterministic in
+    media_id — grayscale (channels=1), RGB (3) or RGBA (4).  The scanline
+    filter type cycles y % 5 (None/Sub/Up/Average/Paeth), so any consumer
+    that decodes these must implement the complete RFC 2083 filter set
+    over the format's bytes-per-pixel stride — this is what puts the real
+    codec path, not a byte-arithmetic stand-in, under test."""
+    bpp = channels
+    px = real_png_pixels(media_id, w, h, channels)
+    rb = w * bpp  # filtered row stride in bytes
     raw = bytearray()
     for y in range(h):
         f = y % 5
         raw.append(f)
-        for x in range(w):
-            v = px[y * w + x]
-            a = px[y * w + x - 1] if x > 0 else 0
-            b = px[(y - 1) * w + x] if y > 0 else 0
-            c = px[(y - 1) * w + x - 1] if x > 0 and y > 0 else 0
+        for i in range(rb):
+            idx = y * rb + i
+            v = px[idx]
+            # RFC 2083: the 'left' neighbor is bpp BYTES back (same
+            # channel of the previous pixel), not the previous byte
+            a = px[idx - bpp] if i >= bpp else 0
+            b = px[idx - rb] if y > 0 else 0
+            c = px[idx - rb - bpp] if i >= bpp and y > 0 else 0
             if f == 1:
                 v -= a
             elif f == 2:
@@ -109,8 +126,9 @@ def real_png_media(media_id: int, w: int, h: int) -> bytes:
                 v -= _paeth(a, b, c)
             raw.append(v & 0xFF)
     return (b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h,
-                                              8, 0, 0, 0, 0))
+            + _png_chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", w, h, 8,
+                _COLOR_TYPE_OF_CHANNELS[channels], 0, 0, 0))
             + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
 
@@ -121,16 +139,24 @@ def real_media_dims(media_id: int) -> Tuple[int, int]:
     return 8 + media_id % 9, 6 + media_id % 7
 
 
-def real_media_table(spark, n: int = 48) -> DataFrame:
-    """n genuine grayscale PNGs, GENERATED ON THE EXECUTORS (mapInPandas
-    over spark.range) — at 10^9 media rows this is an embarrassingly
-    parallel generate stage, never a driver-side collect-and-parallelize."""
+def real_media_channels(media_id: int) -> int:
+    """Channel assignment for the COLOR media table: RGB and RGBA
+    alternate — shared with the oracle generators like real_media_dims."""
+    return 3 + media_id % 2
+
+
+def real_media_table(spark, n: int = 48, color: bool = False) -> DataFrame:
+    """n genuine PNGs (grayscale by default; RGB/RGBA alternating with
+    ``color=True``), GENERATED ON THE EXECUTORS (mapInPandas over
+    spark.range) — at 10^9 media rows this is an embarrassingly parallel
+    generate stage, never a driver-side collect-and-parallelize."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for i in pdf["id"]:
                 w, h = real_media_dims(int(i))
-                payloads.append(real_png_media(int(i), w, h))
+                ch = real_media_channels(int(i)) if color else 1
+                payloads.append(real_png_media(int(i), w, h, ch))
             yield pd.DataFrame({
                 "media_id": pdf["id"],
                 "kind": ["image"] * len(payloads),
@@ -276,20 +302,23 @@ def _png_chunks(payload: bytes):
         i += 12 + ln
 
 
-def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
-    """Reverse PNG row filters (None/Sub/Up/Average/Paeth) for 1-byte
-    pixels — the stdlib half of a real PNG decode."""
-    out = bytearray(w * h)
-    stride = w + 1
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
+    """Reverse PNG row filters (None/Sub/Up/Average/Paeth) — the stdlib
+    half of a real PNG decode.  ``bpp`` is bytes per pixel (1 grayscale,
+    3 RGB, 4 RGBA); per RFC 2083 the 'left' neighbor of a byte is the
+    byte bpp positions back (the same channel one pixel left)."""
+    rb = w * bpp                                             # row bytes
+    out = bytearray(rb * h)
+    stride = rb + 1
     for y in range(h):
         row = raw[y * stride:(y + 1) * stride]
         f, cur = row[0], row[1:]
-        base = y * w
-        for x in range(w):
-            a = out[base + x - 1] if x > 0 else 0           # left
-            b = out[base - w + x] if y > 0 else 0           # up
-            c = out[base - w + x - 1] if x > 0 and y > 0 else 0
-            v = cur[x]
+        base = y * rb
+        for i in range(rb):
+            a = out[base + i - bpp] if i >= bpp else 0      # left
+            b = out[base - rb + i] if y > 0 else 0          # up
+            c = out[base - rb + i - bpp] if i >= bpp and y > 0 else 0
+            v = cur[i]
             if f == 1:
                 v += a
             elif f == 2:
@@ -300,47 +329,53 @@ def _png_unfilter(raw: bytes, w: int, h: int) -> bytearray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 v += a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            out[base + x] = v & 0xFF
+            out[base + i] = v & 0xFF
     return out
 
 
-def _png_gray8_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
-    """REAL stdlib PNG resize for 8-bit grayscale, non-interlaced images:
-    zlib-inflate, unfilter, nearest-neighbor resample, re-encode.
-    Returns None-equivalent by raising ValueError for unsupported PNG
-    color types (caller falls through to Pillow / NotImplementedError)."""
+def _png_raw_resize(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL stdlib PNG resize for 8-bit grayscale/RGB/RGBA,
+    non-interlaced images: zlib-inflate, unfilter, nearest-neighbor
+    resample (whole pixels — all channels move together), re-encode with
+    the SAME color type.  Raises ValueError for unsupported PNGs (caller
+    falls through to Pillow / NotImplementedError)."""
     ihdr = payload[16:29]
     w, h = struct.unpack(">II", ihdr[:8])
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if (bit_depth, color_type, interlace) != (8, 0, 0):
-        raise ValueError("only 8-bit grayscale non-interlaced PNGs")
+    if (bit_depth, interlace) != (8, 0) \
+            or color_type not in _CHANNELS_OF_COLOR_TYPE:
+        raise ValueError(
+            "only 8-bit grayscale/RGB/RGBA non-interlaced PNGs")
+    bpp = _CHANNELS_OF_COLOR_TYPE[color_type]
     idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
-    px = _png_unfilter(zlib.decompress(idat), w, h)
+    px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
     res = bytearray()
     for y in range(new_h):
         sy = y * h // new_h
         res.append(0)  # filter: None
-        res.extend(px[sy * w + (x * w // new_w)] for x in range(new_w))
+        for x in range(new_w):
+            o = (sy * w + (x * w // new_w)) * bpp
+            res.extend(px[o:o + bpp])
 
     return (b"\x89PNG\r\n\x1a\n"
             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", new_w, new_h,
-                                              8, 0, 0, 0, 0))
+                                              8, color_type, 0, 0, 0))
             + _png_chunk(b"IDAT", zlib.compress(bytes(res)))
             + _png_chunk(b"IEND", b""))
 
 
 def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Resize an image payload.  Layered like decode_image: REAL stdlib
-    resize for 8-bit grayscale PNGs (inflate → unfilter → nearest
-    resample → re-encode); Pillow for anything else it can open, when
-    installed; the deterministic FAKE-format resample for codec-less
+    resize for 8-bit grayscale/RGB/RGBA PNGs (inflate → unfilter →
+    nearest resample → re-encode); Pillow for anything else it can open,
+    when installed; the deterministic FAKE-format resample for codec-less
     environments.  Remaining real formats without Pillow raise — a
     marked integration point."""
     if payload[:4] != _MAGIC:
         if (payload[:8] == b"\x89PNG\r\n\x1a\n"
                 and payload[12:16] == b"IHDR"):
             try:
-                return _png_gray8_resize(payload, new_w, new_h)
+                return _png_raw_resize(payload, new_w, new_h)
             except (ValueError, zlib.error, IndexError, struct.error):
                 pass  # unsupported/corrupt PNG -> Pillow fallback
         if _PIL_Image is not None:
@@ -352,8 +387,8 @@ def resize_payload(payload: bytes, new_w: int, new_h: int) -> bytes:
                           _PIL_Image.Resampling.NEAREST).save(out, "PNG")
                 return out.getvalue()
         raise NotImplementedError(
-            "real image resizing beyond grayscale PNG requires Pillow — "
-            "not installed here")
+            "real image resizing beyond 8-bit gray/RGB/RGBA PNG requires "
+            "Pillow — not installed here")
     body = payload[12:]
     new_len = new_w * new_h % 64 + 16
     out = bytes(body[(i * len(body)) // new_len] for i in range(new_len))
@@ -381,36 +416,42 @@ PIXEL_STATS_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
+    StructField("channels", IntegerType(), False),
     StructField("px_sum", LongType(), False),
     StructField("px_crc", LongType(), False),
 ])
 
 
 def png_pixel_stats(df: DataFrame) -> DataFrame:
-    """Decode 8-bit grayscale PNG payloads (inflate → unfilter) and emit
-    per-image pixel statistics (sum + crc32 of the raw pixel bytes).
-    The stats depend only on DECODED pixels — never on the compressor's
-    output bytes — so a DuckDB oracle can state the expected values from
-    the pixel formula alone, independent of zlib."""
+    """Decode 8-bit grayscale/RGB/RGBA PNG payloads (inflate → unfilter)
+    and emit per-image pixel statistics (sum + crc32 of the raw
+    interleaved pixel bytes).  The stats depend only on DECODED pixels —
+    never on the compressor's output bytes — so a DuckDB oracle can state
+    the expected values from the pixel formula alone, independent of
+    zlib."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import binascii
 
         for pdf in batches:
-            ws, hs, sums, crcs = [], [], [], []
+            ws, hs, chs, sums, crcs = [], [], [], [], []
             for p in pdf["payload"]:
                 b = bytes(p)
                 w, h = struct.unpack(">II", b[16:24])
+                bpp = _CHANNELS_OF_COLOR_TYPE[b[25]]
                 idat = b"".join(d for t, d in _png_chunks(b)
                                 if t == b"IDAT")
-                px = bytes(_png_unfilter(zlib.decompress(idat), w, h))
+                px = bytes(_png_unfilter(zlib.decompress(idat), w, h,
+                                         bpp))
                 ws.append(w)
                 hs.append(h)
+                chs.append(bpp)
                 sums.append(sum(px))
                 crcs.append(binascii.crc32(px) & 0xFFFFFFFF)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": ws,
                 "height": hs,
+                "channels": chs,
                 "px_sum": sums,
                 "px_crc": crcs,
             })

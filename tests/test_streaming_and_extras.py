@@ -701,6 +701,56 @@ def test_real_png_generator_all_filters(spark):
         assert rows[i] == real_png_media(i, w, h)
 
 
+def test_real_png_color_roundtrip_and_resize(spark):
+    """r4 VERDICT item 8: genuine 8-bit RGB and RGBA PNGs (stdlib encode,
+    all five filters at the 3/4-byte stride) must unfilter back to the
+    interleaved pixel formula; the whole-pixel nearest resample must pick
+    exactly the source pixels per channel; Pillow, when present, must
+    agree with the stdlib decode."""
+    import zlib as _z
+
+    from syslog_loose_spark.sources.multimodal import (
+        _CHANNELS_OF_COLOR_TYPE, _png_chunks, _png_unfilter,
+        real_media_channels, real_media_dims, real_media_table,
+        real_png_media, real_png_pixels, resize_payload)
+
+    for i, ch in ((0, 3), (1, 4), (8, 3), (13, 4)):
+        w, h = real_media_dims(i)
+        png = real_png_media(i, w, h, ch)
+        assert decode_image(png) == (w, h)
+        assert _CHANNELS_OF_COLOR_TYPE[png[25]] == ch
+        idat = b"".join(d for t, d in _png_chunks(png) if t == b"IDAT")
+        raw = _z.decompress(idat)
+        assert [raw[y * (w * ch + 1)] for y in range(h)] == [
+            y % 5 for y in range(h)]
+        px = real_png_pixels(i, w, h, ch)
+        assert bytes(_png_unfilter(raw, w, h, ch)) == px
+        try:
+            from PIL import Image as PILImage
+            import io as _io
+
+            im = PILImage.open(_io.BytesIO(png))
+            assert im.tobytes() == px
+        except ImportError:
+            pass
+        # whole-pixel nearest resample: channel c of out (x,y) is channel
+        # c of source pixel (x*w//5, y*h//4)
+        out = resize_payload(png, 5, 4)
+        assert decode_image(out) == (5, 4)
+        oidat = b"".join(d for t, d in _png_chunks(out) if t == b"IDAT")
+        got = bytes(_png_unfilter(_z.decompress(oidat), 5, 4, ch))
+        want = bytes(px[((y * h // 4) * w + (x * w // 5)) * ch + c]
+                     for y in range(4) for x in range(5)
+                     for c in range(ch))
+        assert got == want, (i, ch)
+    # distributed color generation matches the local encoder
+    rows = {r["media_id"]: bytes(r["payload"])
+            for r in real_media_table(spark, 4, color=True).collect()}
+    for i in range(4):
+        w, h = real_media_dims(i)
+        assert rows[i] == real_png_media(i, w, h, real_media_channels(i))
+
+
 def test_ivf_refined_centroids_recall_on_planted_clusters(spark):
     """r3 VERDICT item 5: md5-sampled seeds + one integer-exact Lloyd
     round must recover planted cluster structure — recall@5 vs brute
