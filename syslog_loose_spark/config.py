@@ -134,3 +134,13 @@ class PipelineConfig:
     write_strategy: str = "rebalance"
     #: severity bucket boundaries: 0-3 high, 4-5 mid, 6-7 low, null -> "unknown"
     shuffle_partitions: int = 32
+    #: parquet dictionary encoding for the fat token-array column in the
+    #: routed sinks.  OFF by default: every concurrently-open writer
+    #: (maxConcurrentOutputFileWriters allows up to 128 per task) holds a
+    #: dictionary builder for the highest-churn column, and the r5 CPU
+    #: audit measured the build as pure overhead on the fan-out write —
+    #: disabling it for tokens alone (strings keep their dictionaries)
+    #: cut task-blocking GC ~25% and machine CPU ~4% at 24 slots for
+    #: ~15-20% larger token pages (snappy still captures template
+    #: repetition).  Flip on where storage cost dominates compute.
+    token_dictionary: bool = False

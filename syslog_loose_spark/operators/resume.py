@@ -54,13 +54,16 @@ def commit_chunk(spark: SparkSession, state_dir: str, run_id: str,
     NOT enough on its own: FileOutputCommitter renames task files into
     place sequentially at job commit, so with the marker in its own
     partition a crash mid-commit could publish the marker while metrics
-    files are still pending (ADVICE r4).  Coalescing the unioned frame to
+    files are still pending (ADVICE r4).  Shuffling the unioned frame to
     ONE partition puts marker and metrics rows in the SAME task file, so
     the rename that publishes the marker publishes every metrics row with
     it — a true all-or-nothing publish that keeps the single-job latency
     win (r3 VERDICT item 2: flat per-chunk job costs dominate the
-    wide-run tail).  Chunk metrics are a handful of aggregate rows per
-    sink, so one partition costs nothing at any scale."""
+    wide-run tail).  repartition(1), NOT coalesce(1): coalesce collapses
+    the whole upstream (the chunk read-back scan feeding the metrics
+    aggregate) into that one task — measured 3.3 s vs 0.6 s at 24 slots —
+    while repartition keeps the scan parallel and shuffles only the
+    handful of aggregate rows."""
     m = (metrics
          .withColumn("run_id", F.lit(run_id))
          .withColumn("kind", F.lit("metrics"))
@@ -69,5 +72,5 @@ def commit_chunk(spark: SparkSession, state_dir: str, run_id: str,
     marker = spark.createDataFrame(
         [(run_id, "chunk_commit", chunk, None, None, None, None, None, None)],
         STATE_SCHEMA)
-    (m.unionByName(marker).coalesce(1)
+    (m.unionByName(marker).repartition(1)
      .write.mode("append").parquet(state_dir))

@@ -114,14 +114,22 @@ def clustered_for_write(routed: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def route_write(routed: DataFrame, out_dir: str, cfg: PipelineConfig,
                 mode: str = "overwrite") -> None:
     """Cluster (see clustered_for_write), then fan out in ONE partitioned
-    write."""
-    (
+    write.  Dictionary encoding is disabled for the token column alone by
+    default (cfg.token_dictionary): with up to 128 concurrently-open
+    writers per task, per-writer dictionary builders on the fat
+    high-churn array column are measured GC/CPU overhead (r5 audit: GC
+    -25%, machine CPU -4% at 24 slots); the per-leaf parquet option
+    leaves every other column's dictionary on."""
+    w = (
         clustered_for_write(routed, cfg)
         .write
         .partitionBy(SINK_COL, "source", "severity_bucket")
         .mode(mode)
-        .parquet(out_dir)
     )
+    if not cfg.token_dictionary:
+        w = w.option("parquet.enable.dictionary#tokens.list.element",
+                     "false")
+    w.parquet(out_dir)
 
 
 def route_write_bucketed(routed: DataFrame, table: str,
