@@ -1978,6 +1978,155 @@ ORDER BY doc_id
 """
 
 
+def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_hits): documents
+    sharing >= 1 distinct word 8-gram with the held-out benchmark slice
+    (doc_id % 97 == 0).  The synthetic corpus has no natural 8-gram
+    overlap, so contamination is PLANTED deterministically — every doc
+    with doc_id % 31 == 5 gets the full text of benchmark doc
+    97*(doc_id % 5) appended; the operator must recover exactly that
+    planted set with the right per-doc hit counts.  The eval n-gram set
+    is broadcast; the corpus side streams explode -> broadcast probe ->
+    count — the only shuffle carries the (rare) matched rows."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    ev_k = ev.select((F.col("doc_id") / 97).cast("long").alias("k"),
+                     F.col("text").alias("ev_text"))
+    corpus = (docs.where(F.col("doc_id") % 97 != 0)
+              .join(F.broadcast(ev_k),
+                    F.col("doc_id") % 5 == F.col("k"), "left")
+              .select("doc_id", F.when(
+                  F.col("doc_id") % 31 == 5,
+                  F.concat_ws(" ", "text", "ev_text"))
+                  .otherwise(F.col("text")).alias("text")))
+    return (D.contamination_hits(corpus, ev, n=8, min_hits=1)
+            .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+            .orderBy("doc_id"))
+
+
+def _oracle_decontaminate() -> str:
+    grams = ("CASE WHEN len(ws) >= 8 THEN [array_to_string(ws[i:i+7], ' ') "
+             "for i in range(1, len(ws) - 6)] "
+             "ELSE [array_to_string(ws, ' ')] END")
+    return f"""
+WITH ev AS (SELECT doc_id // 97 AS k, text FROM documents
+            WHERE doc_id % 97 = 0),
+corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 31 = 5 THEN d.text || ' ' || e.text
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN ev e ON e.k = d.doc_id % 5
+  WHERE d.doc_id % 97 <> 0),
+ev_g AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest({grams}) AS gram
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents
+          WHERE doc_id % 97 = 0))),
+c_g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({grams}) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)))
+SELECT doc_id, COUNT(*) AS n_hits
+FROM c_g JOIN ev_g USING (gram)
+GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id
+"""
+
+
+_PII_AUG_SQL = ("CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+                "CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "
+                "CAST(doc_id % 200 AS VARCHAR) || '.7 ref 9777777777' "
+                "ELSE text END")
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Plant deterministic PII (email, IPv4, long number) in every 7th
+    document — the corpus is synthetic and PII-free, so the scrub
+    machinery is exercised on planted values both engine- and
+    oracle-side from the same formula."""
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".7 ref 9777777777"))).otherwise(F.col("text"))
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrubbing (text.pii_scrub, pure JVM regex): counts of
+    emails / IPv4s / 9+-digit runs found, plus the md5 of the scrubbed
+    text (<EMAIL>/<IP>/<NUM> placeholders, fixed replacement order)."""
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    n_email, n_ip, n_num = T.pii_counts(F.col("text"))
+    return (docs.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_num.cast("long").alias("n_long_numbers"),
+        F.md5(F.encode(T.pii_scrub(F.col("text")), "UTF-8"))
+         .alias("scrub_md5"))
+        .orderBy("doc_id"))
+
+
+def _oracle_pii_scrub() -> str:
+    from syslog_loose_spark.functions.text import (
+        EMAIL_PATTERN, IPV4_PATTERN, LONG_NUMBER_PATTERN)
+
+    e, i, n = EMAIL_PATTERN, IPV4_PATTERN, LONG_NUMBER_PATTERN
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{i}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{n}')) AS BIGINT)
+           AS n_long_numbers,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+           '{n}', '<NUM>', 'g')) AS scrub_md5
+FROM aug ORDER BY doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot dedup (dedup.dedup_incremental): the 'new
+    crawl' (doc_id >= 250) anti-joined against the normalized content
+    hashes of the already-ingested corpus (doc_id < 250) — incremental
+    ingestion, where each increment dedupes against everything kept so
+    far, not just itself.  The split has no natural cross-boundary
+    duplicates, so recrawls are PLANTED: every new doc with
+    doc_id % 13 == 3 carries an UPPERCASED copy of old doc
+    (doc_id - 250)'s text — dropped only if normalization + hashing both
+    work."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    old_txt = seen.select((F.col("doc_id") + 250).alias("nid"),
+                          F.upper(F.col("text")).alias("old_text"))
+    new = (docs.where(F.col("doc_id") >= 250)
+           .join(old_txt, F.col("doc_id") == F.col("nid"), "left")
+           .select("doc_id", "lang", F.when(
+               (F.col("doc_id") % 13 == 3) & F.col("old_text").isNotNull(),
+               F.col("old_text")).otherwise(F.col("text")).alias("text")))
+    return (D.dedup_incremental(new, seen)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _oracle_dedup_incremental() -> str:
+    new_txt = ("CASE WHEN n.doc_id % 13 = 3 AND o.text IS NOT NULL "
+               "THEN upper(o.text) ELSE n.text END")
+    norm = "md5(trim(regexp_replace(lower({t}), '[ \t\r\n]+', ' ', 'g')))"
+    return f"""
+WITH new_docs AS (
+  SELECT n.doc_id, n.lang, {new_txt} AS text
+  FROM documents n LEFT JOIN documents o ON o.doc_id = n.doc_id - 250
+  WHERE n.doc_id >= 250)
+SELECT doc_id, lang FROM new_docs
+WHERE {norm.format(t='text')} NOT IN
+      (SELECT {norm.format(t='text')} FROM documents WHERE doc_id < 250)
+ORDER BY doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2100,6 +2249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_rgb": q_multimodal_real_rgb,
         "curation_pipeline": q_curation_pipeline,
         "dedup_normalized": q_dedup_normalized,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
+        "pii_scrub": q_pii_scrub,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2156,4 +2308,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_rgb": _oracle_multimodal_real_rgb(),
         "curation_pipeline": _oracle_curation(),
         "dedup_normalized": _oracle_dedup_normalized(),
+        "decontaminate_benchmark": _oracle_decontaminate(),
+        "pii_scrub": _oracle_pii_scrub(),
+        "dedup_incremental": _oracle_dedup_incremental(),
     }

@@ -458,3 +458,63 @@ def drop_near_dup_docs(docs: DataFrame, pairs: DataFrame,
     losers = comp.where(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def contamination_hits(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
+                       min_hits: int = 1, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, n_hits) for every corpus document sharing at least
+    ``min_hits`` distinct word n-grams with ANY benchmark/eval document —
+    the standard pre-training decontamination check (eval answers leaking
+    into the training set inflate benchmark scores).
+
+    Scale shape: the eval set is tiny next to the corpus, so its distinct
+    n-gram set is BROADCAST; the corpus side streams explode → broadcast
+    semi-probe → per-doc distinct count.  The only shuffle is the groupBy
+    over the MATCHED rows (rare n-grams → few matches), never the corpus
+    n-gram stream.  With n=8 over natural text, spurious collisions are
+    negligible; lower n / higher min_hits trade recall vs precision."""
+    ev = (eval_docs.select(F.explode(F.array_distinct(
+              shingles(F.col(text_col), n))).alias("gram"))
+          .distinct())
+    corpus = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            shingles(F.col(text_col), n))).alias("gram"))
+    return (corpus.join(F.broadcast(ev), "gram")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits)
+            .select(F.col("id").alias(id_col), "n_hits"))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
+                  min_hits: int = 1, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Drop corpus documents flagged by ``contamination_hits`` — one
+    left-anti join against the (small) contaminated-id set."""
+    hits = contamination_hits(docs, eval_docs, n, min_hits, id_col,
+                              text_col)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+def dedup_incremental(new_docs: DataFrame, seen_docs: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Snapshot-over-snapshot dedup: drop new documents whose normalized
+    content hash already exists in the previously-ingested corpus (the
+    CommonCrawl-style incremental ingestion shape — each new crawl is
+    deduped against everything already kept, not just against itself).
+
+    One anti-join on the 16-byte hash.  At scale the seen side is a
+    fingerprint TABLE (store hashes, not text); when a day's increment is
+    small relative to it, Spark's join strategy still only shuffles the
+    hash column — and the increment side can be broadcast instead by the
+    optimizer when it is the smaller relation."""
+    from .text import normalize_text
+
+    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    seen = seen_docs.select(fp.alias("fp")).distinct()
+    return (new_docs.withColumn("fp", fp)
+            .join(seen, "fp", "left_anti")
+            .drop("fp"))

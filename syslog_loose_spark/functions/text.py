@@ -108,6 +108,34 @@ def normalize_text(text: Column) -> Column:
     return F.trim(collapsed)
 
 
+# PII patterns restricted to constructs that parse identically in Java
+# regex (Spark) and RE2 (DuckDB) — like BPE_ISH_PATTERN above.  Order of
+# application matters and is part of the contract: emails first (they
+# contain digits and dots), then IPv4, then long digit runs.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+LONG_NUMBER_PATTERN = r"[0-9]{9,}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_long_numbers) found in the raw text."""
+    def _n(pat):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+    return _n(EMAIL_PATTERN), _n(IPV4_PATTERN), _n(LONG_NUMBER_PATTERN)
+
+
+def pii_scrub(text: Column) -> Column:
+    """C4-style PII scrubbing, pure JVM: emails → <EMAIL>, IPv4 →
+    <IP>, 9+-digit runs (phone/account/SSN-shaped) → <NUM>.  Replacement
+    order is fixed (see pattern comment) so the scrubbed text is
+    deterministic and the DuckDB twin (regexp_replace ... 'g') matches
+    byte-for-byte."""
+    scrubbed = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_PATTERN, "<IP>")
+    return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, "<NUM>")
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher/C4-style repetition signals per document:
 

@@ -923,3 +923,66 @@ def test_sampling_operators_invariants(spark):
         last = max(rows, key=lambda r: (r["bin"], r["offset"]))
         assert last["bin"] * 4096 + last["offset"] + last["n_chars"] \
             == total
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc embedding an 8-gram from a benchmark doc is flagged
+    and dropped; unrelated docs survive.  The eval n-gram set must enter
+    the plan as a broadcast (no corpus-sized shuffle for the probe)."""
+    ev = spark.createDataFrame(
+        [(1000, "alpha bravo charlie delta echo foxtrot golf hotel india")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "xx alpha bravo charlie delta echo foxtrot golf hotel yy"),
+         (2, "totally unrelated words that never appeared in any bench"),
+         (3, "alpha bravo charlie delta but only seven words here")],
+        ["doc_id", "text"])
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in D.contamination_hits(corpus, ev, n=8).collect()}
+    assert hits == {1: 1}
+    kept = sorted(r["doc_id"]
+                  for r in D.decontaminate(corpus, ev, n=8).collect())
+    assert kept == [2, 3]
+    plan = (D.contamination_hits(corpus, ev, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_incremental_drops_seen_content(spark):
+    """New docs whose NORMALIZED content matches the prior corpus are
+    dropped (case/whitespace variants included); novel docs pass."""
+    seen = spark.createDataFrame(
+        [(1, "Hello World"), (2, "spark engine")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "hello   world"),      # normalized duplicate of 1
+         (11, "SPARK ENGINE"),       # normalized duplicate of 2
+         (12, "genuinely new doc")], ["doc_id", "text"])
+    kept = sorted(r["doc_id"]
+                  for r in D.dedup_incremental(new, seen).collect())
+    assert kept == [12]
+    # self-novel increments pass through untouched when seen is empty
+    empty = seen.where("doc_id < 0")
+    assert D.dedup_incremental(new, empty).count() == 3
+
+
+def test_pii_scrub_patterns(spark):
+    """Planted email/IPv4/long-number are counted and replaced with
+    placeholders in fixed order; clean text is untouched."""
+    from syslog_loose_spark.functions.text import pii_counts, pii_scrub
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org now"),
+         (1, "from 192.168.0.1 port 443"),
+         (2, "acct 123456789012 end"),
+         (3, "clean text 1.2 v3 short 12345678")],
+        ["doc_id", "text"])
+    e, i, n = pii_counts(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", e.alias("e"), i.alias("i"), n.alias("n"),
+        pii_scrub(F.col("text")).alias("s")).collect()}
+    assert (rows[0]["e"], rows[0]["s"]) == (1, "mail <EMAIL> now")
+    assert (rows[1]["i"], rows[1]["s"]) == (1, "from <IP> port 443")
+    assert (rows[2]["n"], rows[2]["s"]) == (1, "acct <NUM> end")
+    assert rows[3]["s"] == "clean text 1.2 v3 short 12345678"
+    assert (rows[3]["e"], rows[3]["i"], rows[3]["n"]) == (0, 0, 0)
