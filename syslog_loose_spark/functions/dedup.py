@@ -370,28 +370,64 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     )
 
 
+def _local_components(rows, id_type) -> list:
+    """Union-find over a collected edge list (union-by-min, so the final
+    root of every node IS the minimum reachable id — same contract as the
+    distributed path)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set()
+    for r in rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    return [(x, find(x)) for x in nodes]
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a",
-                         b_col: str = "b", max_iter: int = 32) -> DataFrame:
+                         b_col: str = "b", max_iter: int = 32,
+                         local_threshold: int = 1 << 20) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the MINIMUM node id reachable through the pair graph
     — the deterministic canonical representative.
 
     This is the post-pass that turns near-duplicate PAIRS into duplicate
     CLUSTERS (transitivity: a~b and b~c must collapse to one keeper even
-    when a~c was never emitted by the banded join).  Iterative min-label
-    propagation with pointer jumping, pure DataFrame joins:
+    when a~c was never emitted by the banded join).
 
-      label[x]  <- min(label[x], min over neighbors label[y])   (1 hop)
-      label[x]  <- min(label[x], label[label[x]])               (jump)
+    Two physical strategies behind one contract:
 
-    The jump step doubles the effective propagation distance per round
-    (hash-to-min style), so convergence is O(log diameter) rounds, each
-    round a bounded number of shuffles over the PAIR set — which at
-    100 TB is the (far smaller) output of the banded similarity joins,
-    not the corpus.  Every generation is materialized by the convergence
-    check and the previous one unpersisted, so peak storage is two label
-    frames + the edge set.  Raises RuntimeError if ``max_iter`` rounds
-    don't converge (loud, never silently-wrong clusters)."""
+    * ``n_edges <= local_threshold`` (the overwhelmingly common case —
+      the pair set is the OUTPUT of a banded similarity join, orders of
+      magnitude smaller than the corpus): one bounded collect + driver
+      union-find.  The distributed loop costs several Spark jobs PER
+      ROUND in fixed scheduling latency; for a thousand-edge graph that
+      was measured at ~8 s of pure overhead vs microseconds of actual
+      union-find work (r5).  The collect is bounded by construction:
+      at most 2*local_threshold rows of two ints (~32 MB at the default).
+    * larger graphs: iterative min-label propagation with pointer
+      jumping, pure DataFrame joins:
+
+        label[x] <- min(label[x], min over neighbors label[y])   (1 hop)
+        label[x] <- min(label[x], label[label[x]])               (jump)
+
+      The jump step doubles the effective propagation distance per round
+      (hash-to-min style), so convergence is O(log diameter) rounds over
+      the PAIR set.  Every generation is materialized by the convergence
+      check and the previous one unpersisted, so peak storage is two
+      label frames + the edge set.  Raises RuntimeError if ``max_iter``
+      rounds don't converge (loud, never silently-wrong clusters)."""
     # single-pass undirected expansion: a union of pairs with its swap
     # would evaluate the (expensive — banded-join) pair subtree TWICE;
     # exploding both directions out of one row reads it once
@@ -403,6 +439,16 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
              .distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
     try:
+        if edges.count() <= 2 * local_threshold:
+            from pyspark.sql.types import StructField, StructType
+
+            spark = pairs.sparkSession
+            t = edges.schema["x"].dataType
+            out = _local_components(
+                [(r["x"], r["y"]) for r in edges.collect()], t)
+            return spark.createDataFrame(
+                out, StructType([StructField("node", t, False),
+                                 StructField("component", t, False)]))
         labels = (edges.groupBy("x").agg(F.min("y").alias("nmin"))
                   .select("x", F.least(F.col("x"),
                                        F.col("nmin")).alias("lbl"))

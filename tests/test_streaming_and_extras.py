@@ -856,6 +856,12 @@ def test_connected_components_chain_clique_and_canonical(spark):
     exp = ({i: 0 for i in range(13)}
            | {50: 50, 52: 50, 54: 50, 80: 80, 81: 80})
     assert got == exp
+    # the distributed min-label path must produce the identical labeling
+    # (local_threshold=0 forces it past the driver union-find shortcut)
+    got_dist = {r["node"]: r["component"]
+                for r in connected_components(df, local_threshold=0)
+                .collect()}
+    assert got_dist == exp
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in sorted(exp) + [999]],
         "doc_id long, text string")
@@ -875,7 +881,8 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)],
                                   "a long, b long")
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=1).collect()
+        connected_components(chain, max_iter=1,
+                             local_threshold=0).collect()
 
 
 def test_sampling_operators_invariants(spark):
