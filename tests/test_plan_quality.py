@@ -225,3 +225,26 @@ def test_pack_sequences_single_shard_exchange(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(pack_sequences(docs, budget=4096, n_shards=8))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curation_full_plan_shape(spark):
+    """The composed curation plan (r4 VERDICT item 6): no cartesian
+    products, every similarity join hash- or broadcast-based, and a
+    bounded number of exchanges — the filters + repetition caps must fuse
+    into the scan side, not add per-family shuffles beyond the aggregate
+    (repetition), the banded self-join, and the final anti-join."""
+    import __spark_entry__ as entry_mod
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    df = entry_mod.queries()["curation_full"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exchanges: repetition agg (2-level), bucket-cap agg + banded
+    # self-join, CC-losers anti-join side, final sort. The bound is
+    # deliberately loose — it catches an accidental extra per-family
+    # shuffle (each adds >= 2 at once), not partition-count tuning.
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 14, f"{n_ex} exchanges:\n{plan}"
+    unpersist_tracked()
