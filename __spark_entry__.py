@@ -1649,6 +1649,100 @@ FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity.pq_topk, pure ADC —
+    the billion-scale memory path: 64 floats -> 8 one-byte codes, scores
+    from a per-query distance table, corpus vectors never touched)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.pq_topk(emb, emb.where(F.col("vec_id") < 10),
+                      m=8, ks=16, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_ann_pq() -> str:
+    """Mirrors pq_topk end to end: md5-sampled per-subspace seed
+    codewords, ONE integer-exact Lloyd round (unassigned codewords keep
+    their seed — LEFT JOIN + COALESCE, so code ids stay dense and the
+    flat ADC index is stable), second assignment to the refined
+    codebook, and ADC scoring whose every FP sum replays Spark's
+    sequential left fold (list_reduce over list_prepend(0.0, ...),
+    ordered by subspace) — a flipped summation order could flip an
+    argmin or a rank tie."""
+    sq = ("list_reduce(list_prepend(0.0, [({a}[i] - {b}[i]) * ({a}[i] - "
+          "{b}[i]) for i in range(1, 9)]), (x, y) -> x + y)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+sv AS (SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS svec
+       FROM e CROSS JOIN range(0, 8) t(sub)),
+seeds AS (
+  SELECT sub,
+         row_number() OVER (PARTITION BY sub
+             ORDER BY md5('pq-seed-' || CAST(sub AS VARCHAR) || '-'
+                          || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS code,
+         svec AS cvec
+  FROM sv QUALIFY code <= 15),
+d0 AS (
+  SELECT sv.vec_id, sv.sub, sv.svec, s.code,
+         {sq.format(a='sv.svec', b='s.cvec')} AS d
+  FROM sv JOIN seeds s USING (sub)),
+a0 AS (SELECT vec_id, sub, svec, code FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS r
+         FROM d0) WHERE r = 1),
+pd AS (SELECT sub, code, j,
+              CAST(SUM(CAST(FLOOR(svec[j] * 1000000.0) AS BIGINT))
+                   AS DOUBLE) / COUNT(*) / 1000000.0 AS cval
+       FROM a0 CROSS JOIN range(1, 9) t(j) GROUP BY sub, code, j),
+mn AS (SELECT sub, code, list(cval ORDER BY j) AS mvec
+       FROM pd GROUP BY sub, code),
+cb AS (SELECT sub, code, cvec,
+              list_reduce(list_prepend(0.0,
+                  [cvec[i] * cvec[i] for i in range(1, 9)]),
+                  (x, y) -> x + y) AS cn2
+       FROM (SELECT s.sub, s.code, COALESCE(m.mvec, s.cvec) AS cvec
+             FROM seeds s LEFT JOIN mn m USING (sub, code))),
+d1 AS (
+  SELECT sv.vec_id, sv.sub, c.code, c.cn2,
+         {sq.format(a='sv.svec', b='c.cvec')} AS d
+  FROM sv JOIN cb c USING (sub)),
+a1 AS (SELECT vec_id, sub, code, cn2 FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS r
+         FROM d1) WHERE r = 1),
+enc AS (SELECT vec_id AS neighbor_id,
+               sqrt(list_reduce(list_prepend(0.0,
+                    list(cn2 ORDER BY sub)), (x, y) -> x + y)) AS an
+        FROM a1 GROUP BY vec_id),
+qt AS (SELECT e.vec_id AS query_id, c.sub, c.code,
+              list_reduce(list_prepend(0.0,
+                  [e.v[c.sub * 8 + i] * c.cvec[i] for i in range(1, 9)]),
+                  (x, y) -> x + y) AS qd
+       FROM e CROSS JOIN cb c WHERE e.vec_id < 10),
+qns AS (SELECT vec_id AS query_id,
+               sqrt(list_reduce(list_prepend(0.0,
+                    [v[i] * v[i] for i in range(1, 65)]),
+                    (x, y) -> x + y)) AS qn
+        FROM e WHERE vec_id < 10),
+ad AS (SELECT a1.vec_id AS neighbor_id, qt.query_id,
+              list_reduce(list_prepend(0.0, list(qt.qd ORDER BY a1.sub)),
+                          (x, y) -> x + y) AS adot
+       FROM a1 JOIN qt ON qt.sub = a1.sub AND qt.code = a1.code
+       GROUP BY 1, 2),
+scored AS (SELECT ad.query_id, ad.neighbor_id,
+                  ROUND(ad.adot / (qns.qn * enc.an), 4) AS asim
+           FROM ad JOIN qns USING (query_id) JOIN enc USING (neighbor_id)
+           WHERE ad.neighbor_id <> ad.query_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY asim DESC, neighbor_id) AS INT)
+           AS rank,
+       neighbor_id, asim
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_loose_spark.sources.multimodal import (
         extract_features, media_table)
@@ -2239,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keep_canonical": q_near_dup_keep_canonical,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "multimodal_features": q_multimodal_features,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2298,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_keep_canonical": _oracle_near_dup_keep_canonical(),
         "ann_lsh_topk": _oracle_ann_lsh(),
         "ann_ivf_topk": _oracle_ann_ivf(),
+        "ann_pq_topk": _oracle_ann_pq(),
         "multimodal_features": _oracle_multimodal_features(),
         "bpe_token_count": _oracle_bpe_token_count(),
         "embedding_near_dups": _oracle_embedding_near_dups(),

@@ -212,6 +212,192 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left fold (array order) — the
+    same fold the DuckDB oracle replays with list_reduce(list_prepend),
+    so argmin comparisons are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_subvectors(df: DataFrame, m: int, d_sub: int, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(id, sub, sv): each vector split into m contiguous subvectors."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+                      .alias("sv"))
+            for s in range(m)])).alias("p")
+    ).select("id", "p.sub", "p.sv")
+
+
+def _pq_choose(cb: Column, sub_col: Column, sv: Column) -> Column:
+    """struct(d, code, cn2) of the nearest codeword of subspace
+    ``sub_col`` to subvector ``sv`` — array_min over (d, code) breaks
+    distance ties toward the smallest code, mirroring the oracle's
+    row_number ORDER BY d, code."""
+    cand = F.filter(cb, lambda c: c["sub"] == sub_col)
+    scored = F.transform(
+        cand, lambda c: F.struct(_sq_dist(sv, c["cvec"]).alias("d"),
+                                 c["code"].alias("code"),
+                                 c["cn2"].alias("cn2")))
+    return F.array_min(scored)
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks: ``m`` subspaces × ``ks`` codewords,
+    as ONE broadcastable row (column ``cb`` = array<struct<sub, code,
+    cvec, cn2>> sorted by (sub, code); cn2 = |cvec|² precomputed so the
+    ADC norm never refolds codewords per row).
+
+    Deterministic build, bit-identical to the DuckDB twin: per subspace,
+    seed codewords are the ks corpus subvectors with the smallest
+    md5('pq-seed-'||sub||'-'||id) tags (the repo's portable sampling),
+    refined by ONE Lloyd round with integer-quantized exact means
+    (SUM(FLOOR(v*1e6)) as BIGINT — partitioning-independent).  A codeword
+    that attracts no subvectors keeps its seed value (LEFT JOIN +
+    coalesce), so code ids stay dense 0..ks-1 and the flat ADC table
+    index sub*ks+code is stable."""
+    d_sub = dim // m
+    sv = _pq_subvectors(corpus, m, d_sub, id_col, vec_col)
+    tag = F.md5(F.concat(F.lit("pq-seed-"), F.col("sub").cast("string"),
+                         F.lit("-"), F.col("id").cast("string")))
+    w = Window.partitionBy("sub").orderBy("tag", "id")
+    seeds = (sv.withColumn("tag", tag)
+             .withColumn("r", F.row_number().over(w))
+             .where(F.col("r") <= ks)
+             .select("sub", (F.col("r") - 1).alias("code"),
+                     F.col("sv").alias("cvec")))
+    seed_one = seeds.agg(F.array_sort(F.collect_list(F.struct(
+        "sub", "code", "cvec",
+        F.aggregate(F.col("cvec"), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double")
+                    * x.cast("double")).alias("cn2")))).alias("cb"))
+    assigned = (sv.crossJoin(F.broadcast(seed_one))
+                .select("sub", "sv",
+                        _pq_choose(F.col("cb"), F.col("sub"),
+                                   F.col("sv"))["code"].alias("code")))
+    per_dim = (assigned.select("sub", "code", F.posexplode("sv"))
+               .groupBy("sub", "code", "pos")
+               .agg(F.sum(F.floor(F.col("col").cast("double")
+                                  * 1000000.0)).alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+               .select("sub", "code", "pos",
+                       (F.col("s").cast("double") / F.col("n")
+                        / 1000000.0).alias("cval")))
+    means = (per_dim.groupBy("sub", "code")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                 lambda st: st["cval"]).alias("mvec")))
+    refined = (seeds.join(means, ["sub", "code"], "left")
+               .select("sub", "code",
+                       F.coalesce(F.col("mvec"), F.col("cvec"))
+                        .alias("cvec")))
+    return refined.agg(F.array_sort(F.collect_list(F.struct(
+        "sub", "code", "cvec",
+        F.aggregate(F.col("cvec"), F.lit(0.0),
+                    lambda acc, x: acc + x * x).alias("cn2")))).alias("cb"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, m: int = 8,
+            ks: int = 16, k: int = 5, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            rerank: int = 0) -> DataFrame:
+    """Product-quantization ADC top-k — the billion-scale ANN memory
+    path (FAISS IVF-PQ's compression half): every corpus vector is
+    encoded as ``m`` one-byte codes (64 floats → 8 bytes here), and
+    query-to-corpus similarity is approximated from a per-query
+    distance table without ever touching the original vectors.
+
+    Scale shape: the codebook is ONE broadcast row (m×ks codewords);
+    encoding is a per-row fold — NO corpus shuffle; each query
+    precomputes dot(q_sub, codeword) for all m×ks codewords (the ADC
+    table, broadcast with the query), so scoring a corpus row is m
+    array lookups + a fold instead of a dim-wide dot product.  At 100 TB
+    the encoded corpus is dim/m × smaller than the raw vectors (8 bytes
+    + id per row here), which is what makes exhaustive ANN scans
+    feasible; composing with ivf_topk's cells (probe-then-ADC) is the
+    standard next step.  Approximate sim = table-sum / (|q| ×
+    reconstructed |v|); ranking ties break on neighbor_id.
+
+    ``rerank`` > 0 adds the standard refinement stage: the top ``rerank``
+    ADC candidates per query join back to their true vectors and
+    re-score exactly (output column becomes the exact ``sim``).  Pure
+    ADC (rerank=0) deliberately quantizes away within-cell detail — the
+    right trade for cluster-level retrieval, wrong for exact-rank claims
+    — while the shortlist join touches only rerank×queries true vectors,
+    preserving the memory win."""
+    d_sub = dim // m
+    from .dedup import _track
+
+    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col))
+
+    chosen = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_choose(
+            F.col("cb"), s,
+            F.slice(F.col("v"), s * d_sub + 1, d_sub)))
+    enc = (corpus.crossJoin(F.broadcast(cb_one))
+           .select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("v"), "cb")
+           .select("neighbor_id",
+                   chosen.alias("ch"))
+           .select("neighbor_id",
+                   F.transform(F.col("ch"), lambda c: c["code"])
+                    .alias("codes"),
+                   F.sqrt(F.aggregate(F.col("ch"), F.lit(0.0),
+                                      lambda acc, c: acc + c["cn2"]))
+                    .alias("an")))
+    q = (queries.crossJoin(F.broadcast(cb_one))
+         .select(F.col(id_col).alias("query_id"),
+                 norm(F.col(vec_col)).alias("qn"),
+                 F.transform(F.col("cb"), lambda c: dot(
+                     F.slice(F.col(vec_col), c["sub"] * d_sub + 1, d_sub),
+                     c["cvec"])).alias("qtab")))
+    adot = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.element_at(
+                        F.col("qtab"),
+                        (s * ks + F.element_at(F.col("codes"), s + 1)
+                         + 1).cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (enc.join(F.broadcast(q),
+                       F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("asim", F.round(
+                  adot / (F.col("qn") * F.col("an")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id"))
+    if not rerank:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "asim"))
+    shortlist = (scored.withColumn("r0", F.row_number().over(w))
+                 .where(F.col("r0") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"),
+                       norm(F.col(vec_col)).alias("cn"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                        norm(F.col(vec_col)).alias("qn"))
+    exact = (shortlist.join(cv, "neighbor_id")
+             .join(F.broadcast(qv), "query_id")
+             .withColumn("sim", F.round(
+                 dot(F.col("qv"), F.col("cv"))
+                 / (F.col("qn") * F.col("cn")), 4)))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 def _ivf_scored_cells(vec: Column, vn: Column) -> Column:
     """array<struct<sim,cell>> of the row's cosine to every centroid in
     the broadcast ``cents`` column (row norm ``vn`` precomputed — cosine

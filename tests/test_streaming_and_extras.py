@@ -993,3 +993,52 @@ def test_pii_scrub_patterns(spark):
     assert (rows[2]["n"], rows[2]["s"]) == (1, "acct <NUM> end")
     assert rows[3]["s"] == "clean text 1.2 v3 short 12345678"
     assert (rows[3]["e"], rows[3]["i"], rows[3]["n"]) == (0, 0, 0)
+
+
+def test_pq_adc_recall_on_planted_clusters(spark):
+    """Product quantization (r5): 16-dim vectors encoded as 4 one-byte
+    codes.  Pure ADC quantizes away WITHIN-cluster detail by design
+    (every member of a tight cluster gets the same codes), so its honest
+    guarantee is cluster-level: >= 0.9 of each query's top-5 must come
+    from the query's own planted cluster.  With the exact re-rank stage
+    (rerank=30: ADC shortlist -> true-vector re-score), recall@5 vs
+    brute force must reach >= 0.9."""
+    import hashlib
+
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dim, n_clusters, per = 16, 10, 30
+    centers = [[(h32(f"pc{c}-{j}") % 2000 - 1000) / 1000.0
+                for j in range(dim)] for c in range(n_clusters)]
+    rows = []
+    for c in range(n_clusters):
+        for m in range(per):
+            vec = [centers[c][j]
+                   + (h32(f"pn{c}-{m}-{j}") % 100 - 50) / 1000.0
+                   for j in range(dim)]
+            rows.append((c * per + m, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % per == 0)
+    same_cluster = 0
+    total = 0
+    for r in S.pq_topk(emb, q, m=4, ks=16, k=5, dim=dim).collect():
+        total += 1
+        if r["neighbor_id"] // per == r["query_id"] // per:
+            same_cluster += 1
+    assert total == 5 * n_clusters
+    prec = same_cluster / total
+    assert prec >= 0.9, f"ADC cluster precision {prec:.3f} < 0.9"
+    exact = {}
+    for r in S.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in S.pq_topk(emb, q, m=4, ks=16, k=5, dim=dim,
+                       rerank=30).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+    recall = hits / (5 * n_clusters)
+    assert recall >= 0.9, f"reranked recall@5 {recall:.3f} < 0.9"
+    unpersist_tracked()
