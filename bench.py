@@ -388,7 +388,11 @@ def main() -> None:
              # production-shaped query in the registry — bench it, plus
              # the cluster-canonical keep and the stratified sampler
              "curation_full", "near_dup_keep_canonical",
-             "stratified_sample_by_lang")
+             "stratified_sample_by_lang",
+             # r5 additions: decontamination, PII scrub, snapshot dedup,
+             # PQ-ADC ann
+             "decontaminate_benchmark", "pii_scrub", "dedup_incremental",
+             "ann_pq_topk")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

@@ -263,7 +263,12 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
     (SUM(FLOOR(v*1e6)) as BIGINT — partitioning-independent).  A codeword
     that attracts no subvectors keeps its seed value (LEFT JOIN +
     coalesce), so code ids stay dense 0..ks-1 and the flat ADC table
-    index sub*ks+code is stable."""
+    index sub*ks+code is stable.
+
+    At 100 TB, train on a hash-sampled subset (filter md5(id) prefix —
+    same determinism trick as the IVF build): codebook quality converges
+    at ~10^5-10^6 vectors, long before the corpus is exhausted; the
+    encode pass below is the only stage that must see every row."""
     d_sub = dim // m
     sv = _pq_subvectors(corpus, m, d_sub, id_col, vec_col)
     tag = F.md5(F.concat(F.lit("pq-seed-"), F.col("sub").cast("string"),
