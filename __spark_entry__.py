@@ -2221,6 +2221,41 @@ ORDER BY doc_id
 """
 
 
+def q_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-word density (text.word_rarity_stats): the synthetic corpus
+    draws from a small common vocabulary (nothing is naturally rare), so
+    rarity is PLANTED — every 11th doc gets a doc-unique ' zq<id>' token
+    (corpus count 1 <= max_rare_count) the operator must flag."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" zq"),
+                 F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    return T.word_rarity_stats(aug, max_rare_count=2).orderBy("doc_id")
+
+
+def _oracle_word_rarity() -> str:
+    return """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM aug),
+frequent AS (SELECT wd FROM w GROUP BY wd HAVING COUNT(*) > 2),
+nf AS (SELECT doc_id, COUNT(*) AS n_freq
+       FROM w JOIN frequent USING (wd) GROUP BY doc_id),
+tot AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM aug)
+SELECT t.doc_id, CAST(t.n_words AS INT) AS n_words,
+       CAST(t.n_words - COALESCE(nf.n_freq, 0) AS BIGINT) AS n_rare,
+       ROUND(CAST(t.n_words - COALESCE(nf.n_freq, 0) AS DOUBLE)
+             / greatest(t.n_words, 1), 4) AS rare_frac
+FROM tot t LEFT JOIN nf USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2347,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_benchmark": q_decontaminate_benchmark,
         "pii_scrub": q_pii_scrub,
         "dedup_incremental": q_dedup_incremental,
+        "word_rarity": q_word_rarity,
     }
 
 
@@ -2407,4 +2443,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_benchmark": _oracle_decontaminate(),
         "pii_scrub": _oracle_pii_scrub(),
         "dedup_incremental": _oracle_dedup_incremental(),
+        "word_rarity": _oracle_word_rarity(),
     }

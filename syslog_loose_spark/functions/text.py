@@ -136,6 +136,42 @@ def pii_scrub(text: Column) -> Column:
     return F.regexp_replace(scrubbed, LONG_NUMBER_PATTERN, "<NUM>")
 
 
+def word_rarity_stats(df, max_rare_count: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Rare-word density per document — the CCNet/C4-family quality
+    signal that flags gibberish, boilerplate codes and OCR noise (docs
+    dense in words the corpus has barely seen): a word is RARE when its
+    corpus-wide count is <= ``max_rare_count``.
+
+    Scale shape: one corpus-words hash aggregation builds the FREQUENT
+    set (count > max_rare_count) — by Zipf's law the head is tiny
+    relative to the type count, so it broadcasts; each doc then counts
+    its frequent hits via that broadcast semi-probe and derives
+    n_rare = n_words - n_frequent.  Joining against the (huge) rare tail
+    or carrying per-word counts to every doc would shuffle the corpus;
+    this never does.  All outputs are integer/rational (no
+    transcendentals), so the DuckDB oracle is bit-exact.
+
+    Returns (id, n_words, n_rare, rare_frac)."""
+    w = df.select(F.col(id_col).alias("id"),
+                  F.explode(words(F.col(text_col))).alias("wd"))
+    frequent = (w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > max_rare_count).select("wd"))
+    n_freq = (w.join(F.broadcast(frequent), "wd")
+              .groupBy("id").agg(F.count(F.lit(1)).alias("n_freq")))
+    totals = df.select(F.col(id_col).alias("id"),
+                       token_count(F.col(text_col)).alias("n_words"))
+    return (totals.join(n_freq, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    "n_words",
+                    (F.col("n_words")
+                     - F.coalesce(F.col("n_freq"), F.lit(0)))
+                    .cast("long").alias("n_rare"))
+            .withColumn("rare_frac", F.round(
+                F.col("n_rare") / F.greatest(F.col("n_words"), F.lit(1)),
+                4)))
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher/C4-style repetition signals per document:
 
