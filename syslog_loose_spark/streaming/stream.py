@@ -157,3 +157,23 @@ def streaming_sessions(events_stream: DataFrame, gap_minutes: int = 30,
             .groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", timeout))
+
+
+def streaming_dedup(stream_df: DataFrame, key_cols=("doc_id",),
+                    ts_col: str = "ts",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingestion dedup: emit each key's FIRST arrival, drop
+    replays that land within the watermark delay — the streaming twin of
+    dedup.dedup_incremental (duplicate datagrams / at-least-once upstream
+    retries are the norm for a log pipeline).
+
+    dropDuplicatesWithinWatermark (not plain dropDuplicates) is the scale
+    choice: its per-key state is EVICTED once the watermark passes the
+    key's arrival time, so state is bounded by (arrival rate × delay)
+    instead of growing with every key ever seen — the difference between
+    a stream that runs for years and one that OOMs.  Keys re-arriving
+    after the watermark re-emit (by then the batch-layer incremental
+    dedup owns them).  State hash-partitions by key across executors."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

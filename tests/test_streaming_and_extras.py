@@ -1042,3 +1042,51 @@ def test_pq_adc_recall_on_planted_clusters(spark):
     recall = hits / (5 * n_clusters)
     assert recall >= 0.9, f"reranked recall@5 {recall:.3f} < 0.9"
     unpersist_tracked()
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """streaming_dedup (r5): duplicate keys arriving within the
+    watermark — inside one micro-batch or across batches — are dropped;
+    each key's first arrival survives; output keys equal the distinct
+    input keys."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    from syslog_loose_spark.streaming.stream import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    t0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+    def rows(chunk, ids):
+        from datetime import timedelta
+
+        return [(i, t0 + timedelta(minutes=10 * chunk + n), f"p{chunk}-{i}")
+                for n, i in enumerate(ids)]
+
+    chunks = [rows(0, [1, 2, 3, 2]),       # in-batch replay of 2
+              rows(1, [3, 4, 5]),          # cross-batch replay of 3
+              rows(2, [1, 6])]             # late replay of 1
+    for c, data in enumerate(chunks):
+        spark.createDataFrame(
+            data, "doc_id long, ts timestamp, payload string"
+        ).coalesce(1).write.parquet(f"{src}/c{c}", mode="overwrite")
+        # file mtime drives discovery order (part-file uuids do not sort)
+        _time.sleep(0.05)
+
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, payload string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/c*"))
+    q = (streaming_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_out").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("select * from dedup_out").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2, 3, 4, 5, 6], ids
+    # first arrival won: payload chunk prefix is the earliest occurrence
+    by_id = {r["doc_id"]: r["payload"] for r in out}
+    assert by_id[1] == "p0-1" and by_id[3] == "p0-3"
