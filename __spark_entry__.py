@@ -1743,6 +1743,145 @@ FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style IVF-PQ index (similarity.ivf_pq_topk):
+    coarse cells restrict WHICH rows are scored, 8-byte ADC codes decide
+    HOW — at billion-vector scale the scan path holds cells + codes +
+    ids only, never raw vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.ivf_pq_topk(emb, emb.where(F.col("vec_id") < 10),
+                          n_cells=16, n_probe=4, m=8, ks=16, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_ann_ivf_pq() -> str:
+    """The composed mirror: the _oracle_ann_ivf centroid/probe CTE chain
+    (md5 seeds + integer-exact Lloyd + (sim DESC, cell DESC) ties) feeds
+    the _oracle_ann_pq codebook/ADC chain; candidate pairs come from the
+    cell join instead of the exhaustive scan.  Every FP sum replays
+    Spark's sequential left fold."""
+    csim = ("ROUND(list_reduce(list_prepend(0.0, "
+            "[{a}[i] * {b}[i] for i in range(1, 65)]), (x, y) -> x + y) "
+            "/ (sqrt(list_reduce(list_prepend(0.0, "
+            "[{a}[i] * {a}[i] for i in range(1, 65)]), (x, y) -> x + y)) "
+            "* sqrt(list_reduce(list_prepend(0.0, "
+            "[{b}[i] * {b}[i] for i in range(1, 65)]), (x, y) -> x + y))"
+            "), 6)")
+    sq = ("list_reduce(list_prepend(0.0, [({a}[i] - {b}[i]) * ({a}[i] - "
+          "{b}[i]) for i in range(1, 9)]), (x, y) -> x + y)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+iseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e
+        ORDER BY md5('ivf-seed-' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16)),
+isims0 AS (
+  SELECT e.vec_id, e.v, s.cell, {csim.format(a='e.v', b='s.cv')} AS csim
+  FROM e CROSS JOIN iseeds s),
+iassigned0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell DESC) AS r
+    FROM isims0) WHERE r = 1),
+iper_dim AS (
+  SELECT cell, j,
+         CAST(SUM(CAST(FLOOR(v[j] * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS cval
+  FROM iassigned0 CROSS JOIN range(1, 65) t(j)
+  GROUP BY cell, j),
+icents0 AS (SELECT cell AS cell0, list(cval ORDER BY j) AS cv
+            FROM iper_dim GROUP BY cell),
+icents AS (SELECT row_number() OVER (ORDER BY cell0) - 1 AS cell, cv
+           FROM icents0),
+isims AS (
+  SELECT e.vec_id, e.v, c.cell, {csim.format(a='e.v', b='c.cv')} AS csim
+  FROM e CROSS JOIN icents c),
+iranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell DESC) AS r
+  FROM isims),
+cellof AS (SELECT vec_id AS neighbor_id, cell FROM iranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cell
+           FROM iranked WHERE r <= 4 AND vec_id < 10),
+sv AS (SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS svec
+       FROM e CROSS JOIN range(0, 8) t(sub)),
+pseeds AS (
+  SELECT sub,
+         row_number() OVER (PARTITION BY sub
+             ORDER BY md5('pq-seed-' || CAST(sub AS VARCHAR) || '-'
+                          || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS code,
+         svec AS cvec
+  FROM sv QUALIFY code <= 15),
+d0 AS (
+  SELECT sv.vec_id, sv.sub, sv.svec, s.code,
+         {sq.format(a='sv.svec', b='s.cvec')} AS d
+  FROM sv JOIN pseeds s USING (sub)),
+a0 AS (SELECT vec_id, sub, svec, code FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS r
+         FROM d0) WHERE r = 1),
+ppd AS (SELECT sub, code, j,
+               CAST(SUM(CAST(FLOOR(svec[j] * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 1000000.0 AS cval
+        FROM a0 CROSS JOIN range(1, 9) t(j) GROUP BY sub, code, j),
+pmn AS (SELECT sub, code, list(cval ORDER BY j) AS mvec
+        FROM ppd GROUP BY sub, code),
+cb AS (SELECT sub, code, cvec,
+              list_reduce(list_prepend(0.0,
+                  [cvec[i] * cvec[i] for i in range(1, 9)]),
+                  (x, y) -> x + y) AS cn2
+       FROM (SELECT s.sub, s.code, COALESCE(m.mvec, s.cvec) AS cvec
+             FROM pseeds s LEFT JOIN pmn m USING (sub, code))),
+d1 AS (
+  SELECT sv.vec_id, sv.sub, c.code, c.cn2,
+         {sq.format(a='sv.svec', b='c.cvec')} AS d
+  FROM sv JOIN cb c USING (sub)),
+a1 AS (SELECT vec_id, sub, code, cn2 FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS r
+         FROM d1) WHERE r = 1),
+enc AS (SELECT vec_id AS neighbor_id,
+               sqrt(list_reduce(list_prepend(0.0,
+                    list(cn2 ORDER BY sub)), (x, y) -> x + y)) AS an
+        FROM a1 GROUP BY vec_id),
+qt AS (SELECT e.vec_id AS query_id, c.sub, c.code,
+              list_reduce(list_prepend(0.0,
+                  [e.v[c.sub * 8 + i] * c.cvec[i] for i in range(1, 9)]),
+                  (x, y) -> x + y) AS qd
+       FROM e CROSS JOIN cb c WHERE e.vec_id < 10),
+qns AS (SELECT vec_id AS query_id,
+               sqrt(list_reduce(list_prepend(0.0,
+                    [v[i] * v[i] for i in range(1, 65)]),
+                    (x, y) -> x + y)) AS qn
+        FROM e WHERE vec_id < 10),
+pairs AS (SELECT DISTINCT p.query_id, c.neighbor_id
+          FROM probes p JOIN cellof c USING (cell)
+          WHERE c.neighbor_id <> p.query_id),
+ad AS (SELECT pr.neighbor_id, pr.query_id,
+              list_reduce(list_prepend(0.0, list(qt.qd ORDER BY a1.sub)),
+                          (x, y) -> x + y) AS adot
+       FROM pairs pr
+       JOIN a1 ON a1.vec_id = pr.neighbor_id
+       JOIN qt ON qt.query_id = pr.query_id AND qt.sub = a1.sub
+              AND qt.code = a1.code
+       GROUP BY 1, 2),
+scored AS (SELECT ad.query_id, ad.neighbor_id,
+                  ROUND(ad.adot / (qns.qn * enc.an), 4) AS asim
+           FROM ad JOIN qns USING (query_id) JOIN enc USING (neighbor_id))
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY asim DESC, neighbor_id) AS INT)
+           AS rank,
+       neighbor_id, asim
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_loose_spark.sources.multimodal import (
         extract_features, media_table)
@@ -2369,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "multimodal_features": q_multimodal_features,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2430,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _oracle_ann_lsh(),
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_pq_topk": _oracle_ann_pq(),
+        "ann_ivf_pq_topk": _oracle_ann_ivf_pq(),
         "multimodal_features": _oracle_multimodal_features(),
         "bpe_token_count": _oracle_bpe_token_count(),
         "embedding_near_dups": _oracle_embedding_near_dups(),

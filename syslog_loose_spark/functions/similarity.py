@@ -385,6 +385,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, m: int = 8,
     shortlist = (scored.withColumn("r0", F.row_number().over(w))
                  .where(F.col("r0") <= rerank)
                  .select("query_id", "neighbor_id"))
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(shortlist: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, k: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Join an ADC shortlist back to true vectors and re-score exactly —
+    touches only shortlist rows, so the quantized scan's memory win
+    survives the refinement."""
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("cv"),
                        norm(F.col(vec_col)).alias("cn"))
@@ -563,3 +572,91 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
+                n_probe: int = 4, m: int = 8, ks: int = 16, k: int = 5,
+                dim: int = 64, id_col: str = "vec_id",
+                vec_col: str = "embedding", lloyd_rounds: int = 1,
+                rerank: int = 0) -> DataFrame:
+    """The composed FAISS-style IVF-PQ index: coarse cells restrict WHICH
+    rows are scored (ivf_topk's inverted file), product quantization
+    decides HOW they are scored (pq_topk's 8-byte ADC codes) — at
+    billion-vector scale the index is cells + codes + ids only, no raw
+    vectors in the scan path.
+
+    Both component indexes are the verified operators: md5-sampled
+    centroids with integer-exact Lloyd refinement (one broadcast row),
+    md5-sampled per-subspace codebooks likewise (one broadcast row).
+    Each corpus row carries (cell, codes, reconstructed-norm); each query
+    probes n_probe cells with its ADC table; scoring joins on cell id, so
+    cost is O(rows x n_probe / n_cells) per query AND per-candidate work
+    is m table lookups instead of a dim-wide dot.  ``rerank`` refines the
+    shortlist against true vectors (the standard final stage)."""
+    d_sub = dim // m
+    from .dedup import _track
+
+    cents_one = _ivf_cents_one(
+        _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
+    for _ in range(lloyd_rounds):
+        cents_one = _ivf_cents_one(
+            _ivf_lloyd_refine(corpus, cents_one, id_col, vec_col))
+    cents_one = _track(cents_one)
+    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col))
+    index_one = cents_one.crossJoin(cb_one)  # one row: cents + cb arrays
+
+    chosen = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_choose(
+            F.col("cb"), s, F.slice(F.col("v"), s * d_sub + 1, d_sub)))
+    enc = (corpus.crossJoin(F.broadcast(index_one))
+           .select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("v"),
+                   norm(F.col(vec_col)).alias("vn"), "cents", "cb")
+           .select("neighbor_id",
+                   F.array_max(_ivf_scored_cells(F.col("v"),
+                                                 F.col("vn")))["cell"]
+                    .alias("cell"),
+                   chosen.alias("ch"))
+           .select("neighbor_id", "cell",
+                   F.transform(F.col("ch"), lambda c: c["code"])
+                    .alias("codes"),
+                   F.sqrt(F.aggregate(F.col("ch"), F.lit(0.0),
+                                      lambda acc, c: acc + c["cn2"]))
+                    .alias("an")))
+
+    def best_cells(vec, vn, top):
+        ranked = F.reverse(F.array_sort(_ivf_scored_cells(vec, vn)))
+        return F.slice(F.transform(ranked, lambda s: s["cell"]), 1, top)
+
+    q = (queries.crossJoin(F.broadcast(index_one))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qv"),
+                 norm(F.col(vec_col)).alias("qn"), "cents", "cb")
+         .select("query_id", "qn",
+                 F.explode(best_cells(F.col("qv"), F.col("qn"), n_probe))
+                  .alias("cell"),
+                 F.transform(F.col("cb"), lambda c: dot(
+                     F.slice(F.col("qv"), c["sub"] * d_sub + 1, d_sub),
+                     c["cvec"])).alias("qtab")))
+    adot = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.element_at(
+                        F.col("qtab"),
+                        (s * ks + F.element_at(F.col("codes"), s + 1)
+                         + 1).cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (enc.join(F.broadcast(q), "cell")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("asim", F.round(
+                  adot / (F.col("qn") * F.col("an")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id"))
+    if not rerank:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "asim"))
+    shortlist = (scored.withColumn("r0", F.row_number().over(w))
+                 .where(F.col("r0") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)

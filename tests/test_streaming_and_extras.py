@@ -1090,3 +1090,48 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     # first arrival won: payload chunk prefix is the earliest occurrence
     by_id = {r["doc_id"]: r["payload"] for r in out}
     assert by_id[1] == "p0-1" and by_id[3] == "p0-3"
+
+
+def test_ivf_pq_composed_recall_on_planted_clusters(spark):
+    """The composed IVF-PQ index (r5): coarse cells restrict candidates,
+    ADC codes score them.  On planted clusters, >= 0.9 of top-5 results
+    must be same-cluster (ADC cluster guarantee), and with exact rerank
+    the composed index must reach recall@5 >= 0.85 vs brute force (the
+    cell probe may exclude a few cross-cell boundary neighbors — that is
+    the documented n_probe trade)."""
+    import hashlib
+
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dim, n_clusters, per = 16, 10, 30
+    centers = [[(h32(f"pc{c}-{j}") % 2000 - 1000) / 1000.0
+                for j in range(dim)] for c in range(n_clusters)]
+    rows = []
+    for c in range(n_clusters):
+        for mm in range(per):
+            vec = [centers[c][j]
+                   + (h32(f"pn{c}-{mm}-{j}") % 100 - 50) / 1000.0
+                   for j in range(dim)]
+            rows.append((c * per + mm, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % per == 0)
+    res = S.ivf_pq_topk(emb, q, n_cells=n_clusters, n_probe=3, m=4,
+                        ks=16, k=5, dim=dim).collect()
+    same = sum(1 for r in res
+               if r["neighbor_id"] // per == r["query_id"] // per)
+    assert len(res) == 5 * n_clusters
+    assert same / len(res) >= 0.9, same / len(res)
+    exact = {}
+    for r in S.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in S.ivf_pq_topk(emb, q, n_cells=n_clusters, n_probe=3, m=4,
+                           ks=16, k=5, dim=dim, rerank=30).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+    recall = hits / (5 * n_clusters)
+    assert recall >= 0.85, f"composed reranked recall@5 {recall:.3f}"
+    unpersist_tracked()
