@@ -390,9 +390,9 @@ def main() -> None:
              "curation_full", "near_dup_keep_canonical",
              "stratified_sample_by_lang",
              # r5 additions: decontamination, PII scrub, snapshot dedup,
-             # PQ-ADC ann
+             # rarity stats, PQ-ADC + composed IVF-PQ ann
              "decontaminate_benchmark", "pii_scrub", "dedup_incremental",
-             "ann_pq_topk")
+             "word_rarity", "ann_pq_topk", "ann_ivf_pq_topk")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
