@@ -2246,7 +2246,8 @@ WITH ev AS (SELECT doc_id // 97 AS k, text FROM documents
             WHERE doc_id % 97 = 0),
 corpus AS (
   SELECT d.doc_id,
-         CASE WHEN d.doc_id % 31 = 5 THEN d.text || ' ' || e.text
+         CASE WHEN d.doc_id % 31 = 5
+              THEN COALESCE(d.text || ' ' || e.text, d.text)
               ELSE d.text END AS text
   FROM documents d LEFT JOIN ev e ON e.k = d.doc_id % 5
   WHERE d.doc_id % 97 <> 0),
@@ -2351,7 +2352,9 @@ def _oracle_dedup_incremental() -> str:
     return f"""
 WITH new_docs AS (
   SELECT n.doc_id, n.lang, {new_txt} AS text
-  FROM documents n LEFT JOIN documents o ON o.doc_id = n.doc_id - 250
+  FROM documents n
+  LEFT JOIN (SELECT * FROM documents WHERE doc_id < 250) o
+    ON o.doc_id = n.doc_id - 250
   WHERE n.doc_id >= 250)
 SELECT doc_id, lang FROM new_docs
 WHERE {norm.format(t='text')} NOT IN
@@ -2465,23 +2468,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-window contract (VERDICT r5 item 1): the driver's
+    CORRECTNESS artifact covers exactly the FIRST 50 dict entries
+    (proven empirically in r4 and r5), so dict ORDER is load-bearing.
+    Never-driver-verified queries go first; entries past position 50 are
+    a DELIBERATE rotation of long-stable rows (each >=4x driver-green
+    and still pinned every run by tests/test_entry_queries.py).
+    tools/check_driver_window.py audits the rotation each round and
+    appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "word_rarity": q_word_rarity,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
+        "dedup_incremental": q_dedup_incremental,
+        "multimodal_real_rgb": q_multimodal_real_rgb,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_normalized": q_dedup_normalized,
         "syslog_parse_golden": q_syslog_parse_golden,
-        "syslog_pri_decompose": q_syslog_pri_decompose,
         "syslog_enrich_pri_agg": q_syslog_enrich_pri_agg,
         "syslog_route_counts": q_syslog_route_counts,
         "syslog_agg_fac_sev_hour": q_syslog_agg_fac_sev_hour,
-        "syslog_sd_params": q_syslog_sd_params,
         "syslog_dead_letter": q_syslog_dead_letter,
-        "syslog_fallback_verbatim": q_syslog_fallback_verbatim,
-        "syslog_host_volume": q_syslog_host_volume,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "events_hourly": q_events_hourly,
-        "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
-        "events_quantiles": q_events_quantiles,
         "events_quantiles_approx": q_events_quantiles_approx,
         "brand_revenue": q_brand_revenue,
         "dedup_exact": q_dedup_exact,
@@ -2492,7 +2504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
-        "multimodal_bytes": q_multimodal_bytes,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "term_doc_freq": q_term_doc_freq,
@@ -2516,34 +2527,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_real_features": q_multimodal_real_features,
         "multimodal_real_resize": q_multimodal_real_resize,
-        "multimodal_real_rgb": q_multimodal_real_rgb,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_normalized": q_dedup_normalized,
-        "decontaminate_benchmark": q_decontaminate_benchmark,
-        "pii_scrub": q_pii_scrub,
-        "dedup_incremental": q_dedup_incremental,
-        "word_rarity": q_word_rarity,
+        "syslog_pri_decompose": q_syslog_pri_decompose,
+        "syslog_sd_params": q_syslog_sd_params,
+        "syslog_fallback_verbatim": q_syslog_fallback_verbatim,
+        "syslog_host_volume": q_syslog_host_volume,
+        "events_top_users": q_events_top_users,
+        "events_quantiles": q_events_quantiles,
+        "multimodal_bytes": q_multimodal_bytes,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "word_rarity": _oracle_word_rarity(),
+        "pii_scrub": _oracle_pii_scrub(),
+        "decontaminate_benchmark": _oracle_decontaminate(),
+        "dedup_incremental": _oracle_dedup_incremental(),
+        "multimodal_real_rgb": _oracle_multimodal_real_rgb(),
+        "curation_pipeline": _oracle_curation(),
+        "dedup_normalized": _oracle_dedup_normalized(),
         "syslog_parse_golden": _oracle_parse_golden(),
-        "syslog_pri_decompose": _oracle_pri_decompose(),
         "syslog_enrich_pri_agg": _oracle_enrich_pri_agg(),
         "syslog_route_counts": _oracle_route_counts(),
         "syslog_agg_fac_sev_hour": _oracle_agg_fac_sev_hour(),
-        "syslog_sd_params": _oracle_sd_params(),
         "syslog_dead_letter": _oracle_dead_letter(),
-        "syslog_fallback_verbatim": _oracle_fallback_verbatim(),
-        "syslog_host_volume": _oracle_host_volume(),
         "q1_pricing_summary": _oracle_q1(),
         "q3_top_orders": _oracle_q3(),
         "q5_nation_revenue": _oracle_q5(),
         "events_hourly": _oracle_events_hourly(),
-        "events_top_users": _oracle_events_top_users(),
         "events_sessionize": _oracle_sessionize(),
-        "events_quantiles": _oracle_events_quantiles(),
         "events_quantiles_approx": _oracle_events_quantiles_approx(),
         "brand_revenue": _oracle_brand_revenue(),
         "dedup_exact": _oracle_dedup_exact(),
@@ -2554,7 +2566,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracle_lang_id(),
         "ann_cosine_topk": _oracle_ann(),
         "embedding_norms": _oracle_embedding_norms(),
-        "multimodal_bytes": _oracle_multimodal_bytes(),
         "minhash_lsh_candidates": _oracle_minhash_lsh(),
         "minhash_jaccard_est": _oracle_minhash_jaccard_est(),
         "term_doc_freq": _oracle_term_doc_freq(),
@@ -2578,11 +2589,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
         "multimodal_real_features": _oracle_multimodal_real_features(),
         "multimodal_real_resize": _oracle_multimodal_real_resize(),
-        "multimodal_real_rgb": _oracle_multimodal_real_rgb(),
-        "curation_pipeline": _oracle_curation(),
-        "dedup_normalized": _oracle_dedup_normalized(),
-        "decontaminate_benchmark": _oracle_decontaminate(),
-        "pii_scrub": _oracle_pii_scrub(),
-        "dedup_incremental": _oracle_dedup_incremental(),
-        "word_rarity": _oracle_word_rarity(),
+        "syslog_pri_decompose": _oracle_pri_decompose(),
+        "syslog_sd_params": _oracle_sd_params(),
+        "syslog_fallback_verbatim": _oracle_fallback_verbatim(),
+        "syslog_host_volume": _oracle_host_volume(),
+        "events_top_users": _oracle_events_top_users(),
+        "events_quantiles": _oracle_events_quantiles(),
+        "multimodal_bytes": _oracle_multimodal_bytes(),
     }

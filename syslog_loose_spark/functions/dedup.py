@@ -370,7 +370,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     )
 
 
-def _local_components(rows, id_type) -> list:
+def _local_components(rows) -> list:
     """Union-find over a collected edge list (union-by-min, so the final
     root of every node IS the minimum reachable id — same contract as the
     distributed path)."""
@@ -445,7 +445,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
             spark = pairs.sparkSession
             t = edges.schema["x"].dataType
             out = _local_components(
-                [(r["x"], r["y"]) for r in edges.collect()], t)
+                [(r["x"], r["y"]) for r in edges.collect()])
             return spark.createDataFrame(
                 out, StructType([StructField("node", t, False),
                                  StructField("component", t, False)]))

@@ -187,6 +187,22 @@ def test_registry_counts_consistent():
         f"{len(QUERIES)}")
 
 
+def test_driver_window_contract():
+    """VERDICT r5 item 8: the driver verifies only the FIRST 50
+    queries() entries, so rotation past the window must be deliberate.
+    Red if a never-driver-verified query sits outside the window (the
+    r5 structural finding), or if the latest artifact names queries
+    that no longer exist (silent rename)."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(entry_mod.__file__), "tools"))
+    from check_driver_window import audit
+
+    rec = audit()
+    assert rec["never_verified_outside_window"] == [], rec
+    assert rec["artifact_keys_not_in_registry"] == [], rec
+
+
 def test_approx_quantile_rank_error_bound(spark):
     """Beyond the sketch accuracy the GK guarantee is rank error
     <= n/accuracy: force compression with a tiny accuracy and check the

@@ -448,12 +448,16 @@ def test_persist_registry_bounded_and_releasable(spark):
 def test_persist_registry_bounded_across_cc_calls(spark):
     """VERDICT r4 item 5: connected_components' converged labels frame
     must go through the bounded registry too — repeated CC calls in a
-    long-lived session may never hold more than _MAX_LIVE live caches."""
+    long-lived session may never hold more than _MAX_LIVE live caches.
+    local_threshold=0 forces the DISTRIBUTED min-label path — the small
+    graph would otherwise take the driver union-find fast path, which
+    persists nothing and would make this regression test vacuous
+    (ADVICE r5)."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21)], ["a", "b"])
     D.unpersist_tracked()
     for _ in range(4):
-        D.connected_components(edges).count()
+        D.connected_components(edges, local_threshold=0).count()
         assert len(D._PERSISTED) <= D._MAX_LIVE
     assert D.unpersist_tracked() <= D._MAX_LIVE
     assert not D._PERSISTED
