@@ -1673,8 +1673,13 @@ def _oracle_ann_pq() -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
+tr AS (SELECT vec_id, v FROM e
+       ORDER BY md5('pq-train-' || CAST(vec_id AS VARCHAR)), vec_id
+       LIMIT 65536),
 sv AS (SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS svec
        FROM e CROSS JOIN range(0, 8) t(sub)),
+svt AS (SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS svec
+        FROM tr CROSS JOIN range(0, 8) t(sub)),
 seeds AS (
   SELECT sub,
          row_number() OVER (PARTITION BY sub
@@ -1682,11 +1687,11 @@ seeds AS (
                           || CAST(vec_id AS VARCHAR)), vec_id) - 1
              AS code,
          svec AS cvec
-  FROM sv QUALIFY code <= 15),
+  FROM svt QUALIFY code <= 15),
 d0 AS (
   SELECT sv.vec_id, sv.sub, sv.svec, s.code,
          {sq.format(a='sv.svec', b='s.cvec')} AS d
-  FROM sv JOIN seeds s USING (sub)),
+  FROM svt sv JOIN seeds s USING (sub)),
 a0 AS (SELECT vec_id, sub, svec, code FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                       ORDER BY d, code) AS r
@@ -1809,6 +1814,11 @@ probes AS (SELECT vec_id AS query_id, cell
            FROM iranked WHERE r <= 4 AND vec_id < 10),
 sv AS (SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS svec
        FROM e CROSS JOIN range(0, 8) t(sub)),
+tr AS (SELECT vec_id, v FROM e
+       ORDER BY md5('pq-train-' || CAST(vec_id AS VARCHAR)), vec_id
+       LIMIT 65536),
+svt AS (SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS svec
+        FROM tr CROSS JOIN range(0, 8) t(sub)),
 pseeds AS (
   SELECT sub,
          row_number() OVER (PARTITION BY sub
@@ -1816,11 +1826,11 @@ pseeds AS (
                           || CAST(vec_id AS VARCHAR)), vec_id) - 1
              AS code,
          svec AS cvec
-  FROM sv QUALIFY code <= 15),
+  FROM svt QUALIFY code <= 15),
 d0 AS (
   SELECT sv.vec_id, sv.sub, sv.svec, s.code,
          {sq.format(a='sv.svec', b='s.cvec')} AS d
-  FROM sv JOIN pseeds s USING (sub)),
+  FROM svt sv JOIN pseeds s USING (sub)),
 a0 AS (SELECT vec_id, sub, svec, code FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                       ORDER BY d, code) AS r

@@ -248,9 +248,30 @@ def _pq_choose(cb: Column, sub_col: Column, sv: Column) -> Column:
     return F.array_min(scored)
 
 
+def _pq_train_sample(corpus: DataFrame, id_col: str,
+                     train_n: int) -> DataFrame:
+    """Deterministic bounded PQ training sample: the ``train_n`` corpus
+    rows with the smallest md5('pq-train-' || id) tags — the same
+    portable-hash trick as _ivf_seed_cents, so the DuckDB twin replays
+    the exact sample (ORDER BY md5 LIMIT n).  orderBy + limit compiles
+    to TakeOrderedAndProject (per-partition top-n + single merge), NOT a
+    full sort shuffle, so the 100-TB cost is one bounded scan.  This is
+    what keeps the codebook BUILD off the full corpus: training windows
+    below see at most train_n rows per subspace instead of n (the r5
+    scale defect), while the encode pass remains the only full scan.
+    ``train_n`` falsy = train on everything (small fixtures / tests)."""
+    if not train_n:
+        return corpus
+    tag = F.md5(F.concat(F.lit("pq-train-"),
+                         F.col(id_col).cast("string")))
+    return (corpus.withColumn("_ptag", tag)
+            .orderBy("_ptag", id_col).limit(train_n).drop("_ptag"))
+
+
 def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
                  dim: int = 64, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 train_n: int = 1 << 16) -> DataFrame:
     """Product-quantization codebooks: ``m`` subspaces × ``ks`` codewords,
     as ONE broadcastable row (column ``cb`` = array<struct<sub, code,
     cvec, cn2>> sorted by (sub, code); cn2 = |cvec|² precomputed so the
@@ -265,12 +286,16 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
     coalesce), so code ids stay dense 0..ks-1 and the flat ADC table
     index sub*ks+code is stable.
 
-    At 100 TB, train on a hash-sampled subset (filter md5(id) prefix —
-    same determinism trick as the IVF build): codebook quality converges
-    at ~10^5-10^6 vectors, long before the corpus is exhausted; the
-    encode pass below is the only stage that must see every row."""
+    ``train_n`` (default 2^16) bounds the training input via
+    _pq_train_sample: codebook quality converges at ~10^5-10^6 vectors,
+    long before the corpus is exhausted, so the per-subspace seed window
+    and the Lloyd round never see more than train_n rows each — the
+    encode pass in pq_topk is the only stage that must see every row.
+    Raise it (e.g. 1<<20) for production corpora; 0/None trains on the
+    full input."""
     d_sub = dim // m
-    sv = _pq_subvectors(corpus, m, d_sub, id_col, vec_col)
+    sv = _pq_subvectors(_pq_train_sample(corpus, id_col, train_n),
+                        m, d_sub, id_col, vec_col)
     tag = F.md5(F.concat(F.lit("pq-seed-"), F.col("sub").cast("string"),
                          F.lit("-"), F.col("id").cast("string")))
     w = Window.partitionBy("sub").orderBy("tag", "id")
@@ -313,7 +338,7 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
 def pq_topk(corpus: DataFrame, queries: DataFrame, m: int = 8,
             ks: int = 16, k: int = 5, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            rerank: int = 0) -> DataFrame:
+            rerank: int = 0, train_n: int = 1 << 16) -> DataFrame:
     """Product-quantization ADC top-k — the billion-scale ANN memory
     path (FAISS IVF-PQ's compression half): every corpus vector is
     encoded as ``m`` one-byte codes (64 floats → 8 bytes here), and
@@ -341,7 +366,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, m: int = 8,
     d_sub = dim // m
     from .dedup import _track
 
-    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col))
+    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
+                                 train_n=train_n))
 
     chosen = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -578,7 +604,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
                 n_probe: int = 4, m: int = 8, ks: int = 16, k: int = 5,
                 dim: int = 64, id_col: str = "vec_id",
                 vec_col: str = "embedding", lloyd_rounds: int = 1,
-                rerank: int = 0) -> DataFrame:
+                rerank: int = 0, train_n: int = 1 << 16) -> DataFrame:
     """The composed FAISS-style IVF-PQ index: coarse cells restrict WHICH
     rows are scored (ivf_topk's inverted file), product quantization
     decides HOW they are scored (pq_topk's 8-byte ADC codes) — at
@@ -602,7 +628,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
         cents_one = _ivf_cents_one(
             _ivf_lloyd_refine(corpus, cents_one, id_col, vec_col))
     cents_one = _track(cents_one)
-    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col))
+    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
+                                 train_n=train_n))
     index_one = cents_one.crossJoin(cb_one)  # one row: cents + cb arrays
 
     chosen = F.transform(

@@ -144,20 +144,26 @@ def word_rarity_stats(df, max_rare_count: int = 2,
     corpus-wide count is <= ``max_rare_count``.
 
     Scale shape: one corpus-words hash aggregation builds the FREQUENT
-    set (count > max_rare_count) — by Zipf's law the head is tiny
-    relative to the type count, so it broadcasts; each doc then counts
-    its frequent hits via that broadcast semi-probe and derives
-    n_rare = n_words - n_frequent.  Joining against the (huge) rare tail
-    or carrying per-word counts to every doc would shuffle the corpus;
-    this never does.  All outputs are integer/rational (no
-    transcendentals), so the DuckDB oracle is bit-exact.
+    set (count > max_rare_count); each doc then counts its frequent
+    hits against it and derives n_rare = n_words - n_frequent (joining
+    against the huge rare TAIL would shuffle the corpus; this never
+    does).  The head join carries NO forced broadcast hint (r5 VERDICT
+    item 3): Zipf makes the head small RELATIVELY, but its absolute
+    type count grows with the corpus — a 100-TB web corpus has 10^8+
+    types above any fixed count floor, past every broadcast budget.
+    AQE decides at runtime from the head's measured size: broadcast
+    when it fits autoBroadcastJoinThreshold, shuffle join when it
+    doesn't — both paths covered by
+    test_word_rarity_shuffle_fallback_matches.  All outputs are
+    integer/rational (no transcendentals), so the DuckDB oracle is
+    bit-exact.
 
     Returns (id, n_words, n_rare, rare_frac)."""
     w = df.select(F.col(id_col).alias("id"),
                   F.explode(words(F.col(text_col))).alias("wd"))
     frequent = (w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
                 .where(F.col("c") > max_rare_count).select("wd"))
-    n_freq = (w.join(F.broadcast(frequent), "wd")
+    n_freq = (w.join(frequent, "wd")
               .groupBy("id").agg(F.count(F.lit(1)).alias("n_freq")))
     totals = df.select(F.col(id_col).alias("id"),
                        token_count(F.col(text_col)).alias("n_words"))

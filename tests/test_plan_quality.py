@@ -248,3 +248,26 @@ def test_curation_full_plan_shape(spark):
     n_ex = plan.count("Exchange")
     assert n_ex <= 14, f"{n_ex} exchanges:\n{plan}"
     unpersist_tracked()
+
+
+def test_pq_codebook_trains_on_bounded_sample(spark):
+    """VERDICT r5 item 2: the PQ codebook build must NOT run its
+    per-subspace seed window over the full corpus — with train_n set,
+    the window's input is a TakeOrderedAndProject of at most train_n
+    rows (per-partition top-n + one merge, no full sort shuffle).
+    Also pins the sample SEMANTICS: training on the corpus with
+    train_n=n must equal training on the n smallest-md5('pq-train-')
+    rows with sampling off."""
+    from syslog_loose_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(S.pq_codebooks(emb, m=4, ks=8, dim=16, train_n=100))
+    assert "TakeOrderedAndProject" in plan, plan
+
+    tag = F.md5(F.concat(F.lit("pq-train-"),
+                         F.col("vec_id").cast("string")))
+    manual = (emb.withColumn("t", tag).orderBy("t", "vec_id")
+              .limit(100).drop("t"))
+    a = S.pq_codebooks(emb, m=4, ks=8, dim=16, train_n=100).collect()
+    b = S.pq_codebooks(manual, m=4, ks=8, dim=16, train_n=0).collect()
+    assert a == b
