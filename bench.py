@@ -392,7 +392,10 @@ def main() -> None:
              # r5 additions: decontamination, PII scrub, snapshot dedup,
              # rarity stats, PQ-ADC + composed IVF-PQ ann
              "decontaminate_benchmark", "pii_scrub", "dedup_incremental",
-             "word_rarity", "ann_pq_topk", "ann_ivf_pq_topk")
+             "word_rarity", "ann_pq_topk", "ann_ivf_pq_topk",
+             # r5 VERDICT item 5: IVF-Flat and LSH ANN had no per-query
+             # datapoint, so a regression there was invisible in BENCH
+             "ann_ivf_topk", "ann_lsh_topk", "dedup_incremental_fp")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
@@ -484,6 +487,39 @@ def main() -> None:
         }
     results["e2e_parse_route_aggregate"] = round(t_full, 3)
 
+    weak = None
+    if scaling and os.environ.get("SPARK_GRAFT_SKIP_WEAK") != "1":
+        # r5 VERDICT item 7: the data-scaling (weak-scaling) datapoint —
+        # same pinned e2e at 2x rows, both widths — emitted in the
+        # canonical artifact so the driver tracks efficiency-vs-data-size
+        # per round (r5 had it only as a BASELINE.md note).  Expectation:
+        # efficiency RISES with rows as fixed per-job costs amortize
+        # (the direction a real cluster at sf>=1 moves).
+        n2 = n_rows * 2
+        fixture2 = os.path.join(work, "input2x")
+        s2 = get_spark("bench-gen-2x", cpus=_slots(cpus))
+        write_fixture(s2, fixture2, n2, vary_ts=True,
+                      partitions=4 * _slots(cpus))
+        s2.stop()
+        low = max(cpus // 4, 1)
+        rh2 = run_pinned(cpus, fixture2,
+                         os.path.join(work, "out_w_hi"), reps=2)
+        os.sync()
+        rl2 = run_pinned(low, fixture2,
+                         os.path.join(work, "out_w_lo"), reps=2)
+        thr_h2, thr_l2 = n2 / rh2["sec"], n2 / rl2["sec"]
+        weak = {
+            "rows": n2,
+            "cpus_low": low, "cpus_high": cpus,
+            "sec_low": round(rl2["sec"], 3),
+            "sec_high": round(rh2["sec"], 3),
+            "seq_per_sec_high": round(thr_h2, 1),
+            "efficiency": round((thr_h2 / thr_l2) / (cpus / low), 3),
+            # >=1.0 means throughput held or improved at 2x data
+            "throughput_vs_1x": round(thr_h2 / (n_rows / t_full), 3),
+            "cores_busy_high": rh2["cores_busy"],
+        }
+
     kernel = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         kernel = kernel_scaling(cpus)
@@ -505,6 +541,8 @@ def main() -> None:
         out["scaling_parse_kernel"] = kernel
     if heavy:
         out["heavy_near_dup"] = heavy
+    if weak:
+        out["weak_scaling"] = weak
     # The FULL object goes to the file; stdout carries a COMPACT line.
     # The driver's canonical artifact is a ~2000-char stdout tail-capture
     # (BENCH_r03/r04 were front-truncated to parsed:null), so the printed
@@ -533,9 +571,18 @@ def main() -> None:
             ("efficiency_1_to_4", "efficiency_2_to_8",
              "efficiency_n_to_4n_high", "per_core_slowdown_lo_to_hi")
             if k in kernel}
+    if weak:
+        compact["weak_scaling"] = {k: weak[k] for k in
+                                   ("rows", "sec_high", "efficiency",
+                                    "throughput_vs_1x")}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # hard cap: stay inside the tail-capture window
         compact.pop("scaling_parse_kernel", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # weak_scaling survives before per-query detail
+        for q in ("multimodal_real_resize", "stratified_sample_by_lang",
+                  "corpus_hash_split", "embedding_norms"):
+            compact["queries"].pop(q, None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -544,23 +544,47 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     return docs.join(hits.select(id_col), id_col, "left_anti")
 
 
-def dedup_incremental(new_docs: DataFrame, seen_docs: DataFrame,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Snapshot-over-snapshot dedup: drop new documents whose normalized
-    content hash already exists in the previously-ingested corpus (the
-    CommonCrawl-style incremental ingestion shape — each new crawl is
-    deduped against everything already kept, not just against itself).
-
-    One anti-join on the 16-byte hash.  At scale the seen side is a
-    fingerprint TABLE (store hashes, not text); when a day's increment is
-    small relative to it, Spark's join strategy still only shuffles the
-    hash column — and the increment side can be broadcast instead by the
-    optimizer when it is the smaller relation."""
+def content_fingerprints(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """The persistable state-table side of incremental dedup: one 16-byte
+    md5 of the NORMALIZED text per distinct content (column ``fp``).
+    Store THIS between crawls — hashes, never text — and feed it back to
+    dedup_incremental_fp so a year of history is a few TB of fingerprints
+    instead of a re-scan + re-hash of every kept document."""
     from .text import normalize_text
 
     fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
-    seen = seen_docs.select(fp.alias("fp")).distinct()
+    return docs.select(fp.alias("fp")).distinct()
+
+
+def dedup_incremental_fp(new_docs: DataFrame, seen_fps: DataFrame,
+                         text_col: str = "text",
+                         fp_col: str = "fp") -> DataFrame:
+    """Fingerprint-table incremental dedup (r5 VERDICT item 6): drop new
+    documents whose normalized content hash appears in ``seen_fps``, a
+    PRE-HASHED fingerprint frame (the shape content_fingerprints writes
+    and the resume state table already stores for chunks).  Only the
+    increment is hashed; history is never re-read as text.
+
+    One anti-join on the 16-byte hash.  When a day's increment is small
+    relative to the accumulated table, only the hash column shuffles —
+    and the optimizer may broadcast the increment side instead when it
+    is the smaller relation."""
+    from .text import normalize_text
+
+    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    seen = seen_fps.select(F.col(fp_col).alias("fp")).distinct()
     return (new_docs.withColumn("fp", fp)
             .join(seen, "fp", "left_anti")
             .drop("fp"))
+
+
+def dedup_incremental(new_docs: DataFrame, seen_docs: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Snapshot-over-snapshot dedup from raw TEXT on both sides: hashes
+    ``seen_docs`` on the fly and delegates to dedup_incremental_fp.
+    Convenience form — production loops should persist
+    content_fingerprints and call the _fp variant directly."""
+    return dedup_incremental_fp(
+        new_docs, content_fingerprints(seen_docs, text_col), text_col)

@@ -248,8 +248,8 @@ def _pq_choose(cb: Column, sub_col: Column, sv: Column) -> Column:
     return F.array_min(scored)
 
 
-def _pq_train_sample(corpus: DataFrame, id_col: str,
-                     train_n: int) -> DataFrame:
+def _pq_train_sample(corpus: DataFrame, id_col: str, train_n: int,
+                     tag_prefix: str = "pq-train-") -> DataFrame:
     """Deterministic bounded PQ training sample: the ``train_n`` corpus
     rows with the smallest md5('pq-train-' || id) tags — the same
     portable-hash trick as _ivf_seed_cents, so the DuckDB twin replays
@@ -262,7 +262,7 @@ def _pq_train_sample(corpus: DataFrame, id_col: str,
     ``train_n`` falsy = train on everything (small fixtures / tests)."""
     if not train_n:
         return corpus
-    tag = F.md5(F.concat(F.lit("pq-train-"),
+    tag = F.md5(F.concat(F.lit(tag_prefix),
                          F.col(id_col).cast("string")))
     return (corpus.withColumn("_ptag", tag)
             .orderBy("_ptag", id_col).limit(train_n).drop("_ptag"))
@@ -491,9 +491,11 @@ def _ivf_lloyd_refine(corpus: DataFrame, cents_one: DataFrame,
 
     Scale shape: the refine pass is one posexplode shuffle of
     (cell, dim, long) triples — rows x dim narrow rows, the classic
-    one-time IVF index-build cost.  At 100 TB you run it on a hash-sampled
-    subset (filter on md5(id) prefix, same determinism) — centroid quality
-    converges long before the full corpus is seen."""
+    one-time IVF index-build cost.  Callers (ivf_topk / ivf_pq_topk)
+    bound it by passing the md5('ivf-train-') hash sample, not the full
+    corpus — centroid quality converges long before the corpus is
+    exhausted, and determinism survives because the sample is a
+    TakeOrdered prefix of a portable hash."""
     assigned = (corpus.crossJoin(F.broadcast(cents_one))
                 .select(F.col(vec_col).alias("v"),
                         norm(F.col(vec_col)).alias("vn"), "cents")
@@ -519,7 +521,8 @@ def _ivf_lloyd_refine(corpus: DataFrame, cents_one: DataFrame,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
              n_probe: int = 4, k: int = 5, id_col: str = "vec_id",
-             vec_col: str = "embedding", lloyd_rounds: int = 1) -> DataFrame:
+             vec_col: str = "embedding", lloyd_rounds: int = 1,
+             train_n: int = 1 << 16) -> DataFrame:
     """IVF-Flat approximate top-k: the inverted-file alternative to
     hyperplane LSH.
 
@@ -544,11 +547,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     query instead of O(rows x queries); recall is tunable via n_probe
     (n_probe == n_cells degrades gracefully to exact brute force).
     """
+    # seeds are already a bounded TakeOrdered; the Lloyd refine is the
+    # full-corpus pass, so it trains on the md5('ivf-train-') sample —
+    # same bounded-build contract as pq_codebooks (centroid quality
+    # converges at ~10^5-10^6 vectors; the per-row cell ASSIGNMENT below
+    # still sees every row)
+    train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
     cents_one = _ivf_cents_one(
         _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
     for _ in range(lloyd_rounds):
         cents_one = _ivf_cents_one(
-            _ivf_lloyd_refine(corpus, cents_one, id_col, vec_col))
+            _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
     if lloyd_rounds:
         # the refined one-row frame feeds TWO broadcasts (corpus
         # assignment + query probing); without a persist the whole
@@ -622,11 +631,12 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     d_sub = dim // m
     from .dedup import _track
 
+    train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
     cents_one = _ivf_cents_one(
         _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
     for _ in range(lloyd_rounds):
         cents_one = _ivf_cents_one(
-            _ivf_lloyd_refine(corpus, cents_one, id_col, vec_col))
+            _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
     cents_one = _track(cents_one)
     cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
                                  train_n=train_n))

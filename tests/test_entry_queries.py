@@ -218,3 +218,33 @@ def test_approx_quantile_rank_error_bound(spark):
     rank = vals.index(got) + 1
     bound = 2.0 * n / acc + 1
     assert abs(rank - p * n) <= bound, (rank, p * n, bound)
+
+
+@pytest.mark.parametrize("name,engine", [
+    ("ann_ivf_topk", "ivf"), ("ann_pq_topk", "pq"), ("ann_ivf_pq_topk", "ivfpq")])
+def test_ann_train_sample_differential_subcorpus(name, engine, spark, duck):
+    """The driver gate never exercises a training sample SMALLER than the
+    corpus (fixtures < 65536 rows make the md5-prefix LIMIT a no-op), so
+    this is the lockstep proof for the sampled build: engine with
+    train_n=100 vs the same oracle SQL with its train LIMITs rewritten
+    to 100 — rank-for-rank equal."""
+    from pyspark.sql import functions as F
+
+    from syslog_loose_spark.functions import similarity as S
+
+    sql = ORACLES[name].replace("LIMIT 65536", "LIMIT 100")
+    assert sql != ORACLES[name]  # the rewrite must have bitten
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 10)
+    if engine == "ivf":
+        df = S.ivf_topk(emb, q, n_cells=16, n_probe=4, k=5, train_n=100)
+    elif engine == "pq":
+        df = S.pq_topk(emb, q, m=8, ks=16, k=5, train_n=100)
+    else:
+        df = S.ivf_pq_topk(emb, q, n_cells=16, n_probe=4, m=8, ks=16,
+                           k=5, train_n=100)
+    got = sorted(tuple(r) for r in
+                 df.select("query_id", "rank", "neighbor_id").collect())
+    want = sorted((r[0], r[1], r[2])
+                  for r in duck.execute(sql).fetchall())
+    assert got == want

@@ -1163,3 +1163,27 @@ def test_word_rarity_shuffle_fallback_matches(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert default == fallback
+
+
+def test_dedup_incremental_fp_matches_text_variant(spark):
+    """r5 VERDICT item 6: the fingerprint-table variant must keep exactly
+    the same documents as the from-text variant when the fp table is
+    content_fingerprints(seen) — and the state frame itself is hashes
+    only (single 'fp' column, 32 hex chars, distinct)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    seen = docs.where(F.col("doc_id") < 60)
+    # plant one recrawl: doc 61 carries doc 1's text uppercased
+    new = docs.where(F.col("doc_id") >= 60).unionByName(
+        seen.where(F.col("doc_id") == 1)
+        .withColumn("doc_id", F.lit(999).cast("long"))
+        .withColumn("text", F.upper(F.col("text"))))
+    fps = D.content_fingerprints(seen)
+    assert fps.columns == ["fp"]
+    assert fps.where(F.length("fp") != 32).count() == 0
+    a = sorted(r["doc_id"] for r in
+               D.dedup_incremental(new, seen).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               D.dedup_incremental_fp(new, fps).select("doc_id").collect())
+    assert a == b
+    assert 999 not in a  # the planted recrawl was dropped
