@@ -2435,6 +2435,95 @@ FROM tot t LEFT JOIN nf USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture control (sampling.mix_sources): per-source KEEP
+    probabilities applied as a pure md5 projection — src0 halved, src1
+    quartered, src2 dropped outright, everything else kept.  Output is
+    the per-source survivor count, which pins both the thinning ratios
+    and the deterministic membership."""
+    from syslog_loose_spark.functions.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = mix_sources(docs, [("src0", 0.5), ("src1", 0.25),
+                               ("src2", 0.0)])
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("source"))
+
+
+def _oracle_mix_sources() -> str:
+    frac = _MD5_FRAC.format(tag="mix-", col="doc_id")
+    return f"""
+SELECT source, COUNT(*) AS n FROM documents
+WHERE {frac} < CASE source WHEN 'src0' THEN 0.5
+                           WHEN 'src1' THEN 0.25
+                           WHEN 'src2' THEN 0.0
+                           ELSE 1.0 END
+GROUP BY source ORDER BY source
+"""
+
+
+_BOILER_AUG_SQL = (
+    "text || CASE WHEN doc_id % 4 = 0 THEN chr(10) || "
+    "'please accept cookies to continue' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+    "'copyright footer all rights reserved' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'uniq ' || "
+    "CAST(doc_id AS VARCHAR) ELSE '' END")
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (text.remove_boilerplate_lines): the
+    synthetic corpus is single-line, so multi-doc chrome is PLANTED —
+    every 4th doc gains a cookie-banner line and every 7th a footer line
+    (both cross the min_docs=3 floor and must drop), while every 11th
+    doc gains a doc-UNIQUE line that must survive.  Output counts plus
+    the md5 of the rebuilt text pin line order preservation."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nplease accept cookies to continue"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\ncopyright footer all rights reserved"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit("\nuniq "), F.col("doc_id").cast("string")))
+         .otherwise(F.lit(""))).alias("text"))
+    res = T.remove_boilerplate_lines(aug, min_docs=3)
+    return (res.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_dropped",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+def _oracle_boilerplate_lines() -> str:
+    return f"""
+WITH aug AS (SELECT doc_id, {_BOILER_AUG_SQL} AS text FROM documents),
+lines AS (
+  SELECT doc_id, u.pos, u.ln FROM
+    (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+    LATERAL (SELECT generate_subscripts(ls, 1) AS pos,
+                    unnest(ls) AS ln) u),
+boiler AS (SELECT ln FROM lines GROUP BY ln
+           HAVING COUNT(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(ln, chr(10) ORDER BY pos) AS new_text
+  FROM lines ANTI JOIN boiler USING (ln)
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+        FROM aug)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       md5(COALESCE(k.new_text, '')) AS clean_md5
+FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2522,6 +2611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_rgb": q_multimodal_real_rgb,
         "curation_pipeline": q_curation_pipeline,
         "dedup_normalized": q_dedup_normalized,
+        "mix_sources": q_mix_sources,
+        "boilerplate_lines": q_boilerplate_lines,
         "syslog_parse_golden": q_syslog_parse_golden,
         "syslog_enrich_pri_agg": q_syslog_enrich_pri_agg,
         "syslog_route_counts": q_syslog_route_counts,
@@ -2561,8 +2652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_real_features": q_multimodal_real_features,
         "syslog_pri_decompose": q_syslog_pri_decompose,
         "syslog_sd_params": q_syslog_sd_params,
@@ -2572,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_real_resize": q_multimodal_real_resize,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -2585,6 +2676,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_rgb": _oracle_multimodal_real_rgb(),
         "curation_pipeline": _oracle_curation(),
         "dedup_normalized": _oracle_dedup_normalized(),
+        "mix_sources": _oracle_mix_sources(),
+        "boilerplate_lines": _oracle_boilerplate_lines(),
         "syslog_parse_golden": _oracle_parse_golden(),
         "syslog_enrich_pri_agg": _oracle_enrich_pri_agg(),
         "syslog_route_counts": _oracle_route_counts(),
@@ -2624,8 +2717,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _oracle_multimodal_features(),
         "bpe_token_count": _oracle_bpe_token_count(),
         "embedding_near_dups": _oracle_embedding_near_dups(),
-        "multimodal_resize": _oracle_multimodal_resize(),
-        "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
         "multimodal_real_features": _oracle_multimodal_real_features(),
         "syslog_pri_decompose": _oracle_pri_decompose(),
         "syslog_sd_params": _oracle_sd_params(),
@@ -2635,4 +2726,6 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": _oracle_events_quantiles(),
         "multimodal_bytes": _oracle_multimodal_bytes(),
         "multimodal_real_resize": _oracle_multimodal_real_resize(),
+        "multimodal_resize": _oracle_multimodal_resize(),
+        "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
     }

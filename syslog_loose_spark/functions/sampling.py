@@ -22,6 +22,9 @@ Scale shapes:
                         greedy whole-doc bin packing, is inherently
                         sequential).  Shards scale the packing across
                         executors; n_shards bounds per-task state.
+  * mix_sources       — one projection, no shuffle: source-ratio
+                        down-sampling as a pure per-row function of
+                        (source, id).
 """
 
 from __future__ import annotations
@@ -98,3 +101,24 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 16,
                (F.col("cum_before") % budget).alias("offset"),
                F.col("sz").alias(size_col)))
     return out
+
+
+def mix_sources(df: DataFrame, ratios: list[tuple[str, float]],
+                id_col: str = "doc_id", source_col: str = "source",
+                default_ratio: float = 1.0) -> DataFrame:
+    """Source-mixture control (the Pile/Dolma-style domain weighting):
+    keep each row of source s with probability ratios[s], decided by the
+    deterministic md5 fraction — a pure per-row projection, NO shuffle,
+    rerun-stable, and growth-stable (a kept row stays kept when the
+    corpus grows; eval contamination cannot creep in through re-mixing).
+    ``ratios`` are KEEP probabilities in [0,1] (down-sampling only —
+    up-sampling is an epoch/repetition choice at training time, not a
+    row-filter); sources not listed keep ``default_ratio``.  The ratio
+    table is configuration, not data, so it compiles into the projection
+    as a CASE — nothing is joined or broadcast."""
+    frac = _hash_frac("mix-", F.col(id_col))
+    keep = F.lit(float(default_ratio))
+    for name, r in reversed(ratios):
+        keep = (F.when(F.col(source_col) == name, F.lit(float(r)))
+                .otherwise(keep))
+    return df.where(frac < keep)

@@ -178,7 +178,56 @@ def word_rarity_stats(df, max_rare_count: int = 2,
                 4)))
 
 
+def remove_boilerplate_lines(df, min_docs: int = 3,
+                             text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """CCNet/Dolma-style boilerplate removal: drop every LINE (newline-
+    separated) whose exact content appears in at least ``min_docs``
+    DISTINCT documents — navigation chrome, cookie banners and footer
+    legalese repeat across pages; body text does not.
+
+    Scale shape: explode lines -> one (line -> distinct-doc count) hash
+    aggregation builds the boilerplate set; each document then drops its
+    boilerplate members via a LEFT ANTI join on the line content and
+    reassembles with the original line order preserved (posexplode
+    carries the index).  Like word_rarity_stats, the frequent-line join
+    carries NO forced broadcast hint — boilerplate sets grow with the
+    corpus, so AQE picks broadcast vs shuffle join from the measured
+    size.  Pure string/integer ops — the DuckDB oracle is exact.
+
+    Returns (id, text, n_lines, n_dropped) with ``text`` rebuilt from
+    the surviving lines."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("pos", "ln"))
+    boiler = (lines.groupBy("ln")
+              .agg(F.count_distinct("id").alias("nd"))
+              .where(F.col("nd") >= min_docs).select("ln"))
+    kept = (lines.join(boiler, "ln", "left_anti")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "ln"))),
+                         lambda st: st["ln"]), "\n").alias("new_text")))
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (totals.join(kept, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col("new_text"), F.lit(""))
+                     .alias(text_col),
+                    "n_lines",
+                    (F.col("n_lines")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_dropped")))
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+
+
     """Gopher/C4-style repetition signals per document:
 
       * dup_word_frac   — 1 − distinct words / total words (how much of

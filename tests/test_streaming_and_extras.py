@@ -1187,3 +1187,53 @@ def test_dedup_incremental_fp_matches_text_variant(spark):
                D.dedup_incremental_fp(new, fps).select("doc_id").collect())
     assert a == b
     assert 999 not in a  # the planted recrawl was dropped
+
+
+def test_mix_sources_deterministic_thinning(spark):
+    """mix_sources: ratio-0 sources vanish, ratio-1 sources are intact,
+    fractional sources thin to ~ratio, and membership is rerun-stable
+    AND growth-stable (a kept row stays kept when the corpus doubles)."""
+    from syslog_loose_spark.functions.sampling import mix_sources
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    ratios = [("src0", 0.0), ("src1", 1.0), ("src2", 0.5)]
+    mixed = mix_sources(docs, ratios)
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # pure projection+filter
+    by_src = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert "src0" not in by_src
+    assert by_src["src1"] == full["src1"]
+    assert 0 < by_src["src2"] < full["src2"]
+    a = sorted(r["doc_id"] for r in mixed.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               mix_sources(docs, ratios).select("doc_id").collect())
+    assert a == b  # rerun-stable
+    grown = docs.unionByName(docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang",
+        "source", "n_chars"))
+    g = set(r["doc_id"] for r in
+            mix_sources(grown, ratios).select("doc_id").collect())
+    assert set(a) == {i for i in g if i < 500000}  # growth-stable
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    """Planted chrome (cookie banner in >= min_docs docs) drops; the
+    doc-unique line survives; line ORDER is preserved on reassembly."""
+    from syslog_loose_spark.functions.text import remove_boilerplate_lines
+
+    rows = [(i, "body text %d\nACCEPT COOKIES\ntail %d" % (i, i))
+            for i in range(5)] + [(99, "solo doc\nunique line 99")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_docs=3).collect()}
+    for i in range(5):
+        assert out[i]["n_lines"] == 3 and out[i]["n_dropped"] == 1
+        assert out[i]["text"] == "body text %d\ntail %d" % (i, i)
+    assert out[99]["n_dropped"] == 0
+    assert out[99]["text"] == "solo doc\nunique line 99"
