@@ -1237,3 +1237,37 @@ def test_remove_boilerplate_lines_planted(spark):
         assert out[i]["text"] == "body text %d\ntail %d" % (i, i)
     assert out[99]["n_dropped"] == 0
     assert out[99]["text"] == "solo doc\nunique line 99"
+
+
+def test_incremental_dedup_two_crawl_cycle(spark, tmp_path):
+    """The production incremental loop end to end: crawl 1 persists its
+    fingerprint table to parquet; crawl 2 dedupes against the READ-BACK
+    table (never re-reading crawl-1 text), keeps only novel content, and
+    appends its own fingerprints; crawl 3 then drops recrawls of BOTH
+    earlier crawls.  This is the state-table cycle dedup_incremental_fp
+    exists for."""
+    fp_dir = str(tmp_path / "fps")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(90)
+    c1 = docs.where(F.col("doc_id") < 30)
+    c2 = (docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+          .unionByName(c1.where(F.col("doc_id") == 5)
+                       .withColumn("doc_id", F.lit(1005).cast("long"))))
+    c3 = (docs.where(F.col("doc_id") >= 60)
+          .unionByName(c1.where(F.col("doc_id") == 7)
+                       .withColumn("doc_id", F.lit(1007).cast("long")))
+          .unionByName(c2.where(F.col("doc_id") == 35)
+                       .withColumn("doc_id", F.lit(1035).cast("long"))))
+
+    D.content_fingerprints(c1).write.parquet(fp_dir + "/c1")
+    seen = spark.read.parquet(fp_dir + "/c1")
+    kept2 = D.dedup_incremental_fp(c2, seen)
+    assert 1005 not in {r["doc_id"] for r in kept2.collect()}
+    D.content_fingerprints(kept2).write.parquet(fp_dir + "/c2")
+
+    seen_all = spark.read.parquet(fp_dir + "/c1").unionByName(
+        spark.read.parquet(fp_dir + "/c2"))
+    kept3_ids = {r["doc_id"] for r in
+                 D.dedup_incremental_fp(c3, seen_all).collect()}
+    assert 1007 not in kept3_ids and 1035 not in kept3_ids
+    assert {r["doc_id"] for r in c3.collect()} - kept3_ids == {1007, 1035}
