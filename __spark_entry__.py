@@ -2338,6 +2338,22 @@ FROM aug ORDER BY doc_id
 """
 
 
+def _incremental_corpus(spark: SparkSession, sf_dir: str):
+    """(new_docs, seen) for the incremental-dedup queries — shared so the
+    planted-recrawl construction can never drift between the text and
+    fingerprint variants (both map to the same oracle; r6 review)."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    old_txt = seen.select((F.col("doc_id") + 250).alias("nid"),
+                          F.upper(F.col("text")).alias("old_text"))
+    new = (docs.where(F.col("doc_id") >= 250)
+           .join(old_txt, F.col("doc_id") == F.col("nid"), "left")
+           .select("doc_id", "lang", F.when(
+               (F.col("doc_id") % 13 == 3) & F.col("old_text").isNotNull(),
+               F.col("old_text")).otherwise(F.col("text")).alias("text")))
+    return new, seen
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-over-snapshot dedup (dedup.dedup_incremental): the 'new
     crawl' (doc_id >= 250) anti-joined against the normalized content
@@ -2348,15 +2364,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 13 == 3 carries an UPPERCASED copy of old doc
     (doc_id - 250)'s text — dropped only if normalization + hashing both
     work."""
-    docs = _t(spark, sf_dir, "documents")
-    seen = docs.where(F.col("doc_id") < 250)
-    old_txt = seen.select((F.col("doc_id") + 250).alias("nid"),
-                          F.upper(F.col("text")).alias("old_text"))
-    new = (docs.where(F.col("doc_id") >= 250)
-           .join(old_txt, F.col("doc_id") == F.col("nid"), "left")
-           .select("doc_id", "lang", F.when(
-               (F.col("doc_id") % 13 == 3) & F.col("old_text").isNotNull(),
-               F.col("old_text")).otherwise(F.col("text")).alias("text")))
+    new, seen = _incremental_corpus(spark, sf_dir)
     return (D.dedup_incremental(new, seen)
             .select("doc_id", "lang").orderBy("doc_id"))
 
@@ -2386,15 +2394,7 @@ def q_dedup_incremental_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_fingerprints state frame (16-byte hashes, no text) — the
     shape a year of crawls stores so history is never re-hashed.  Same
     oracle by design; what differs is the engine path under test."""
-    docs = _t(spark, sf_dir, "documents")
-    seen = docs.where(F.col("doc_id") < 250)
-    old_txt = seen.select((F.col("doc_id") + 250).alias("nid"),
-                          F.upper(F.col("text")).alias("old_text"))
-    new = (docs.where(F.col("doc_id") >= 250)
-           .join(old_txt, F.col("doc_id") == F.col("nid"), "left")
-           .select("doc_id", "lang", F.when(
-               (F.col("doc_id") % 13 == 3) & F.col("old_text").isNotNull(),
-               F.col("old_text")).otherwise(F.col("text")).alias("text")))
+    new, seen = _incremental_corpus(spark, sf_dir)
     fps = D.content_fingerprints(seen)
     return (D.dedup_incremental_fp(new, fps)
             .select("doc_id", "lang").orderBy("doc_id"))

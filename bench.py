@@ -502,11 +502,21 @@ def main() -> None:
                       partitions=4 * _slots(cpus))
         s2.stop()
         low = max(cpus // 4, 1)
-        rh2 = run_pinned(cpus, fixture2,
-                         os.path.join(work, "out_w_hi"), reps=2)
-        os.sync()
-        rl2 = run_pinned(low, fixture2,
-                         os.path.join(work, "out_w_lo"), reps=2)
+        # INTERLEAVED like the main scaling block (r6 review: a single
+        # hi-then-lo pass lets one slow VM window land entirely on one
+        # width and corrupt the ratio) — 2 children per width, best-of
+        rh2 = rl2 = None
+        for i in range(2):
+            rh = run_pinned(cpus, fixture2,
+                            os.path.join(work, f"out_w_hi{i}"), reps=1)
+            if rh2 is None or rh["sec"] < rh2["sec"]:
+                rh2 = rh
+            os.sync()
+            rl = run_pinned(low, fixture2,
+                            os.path.join(work, f"out_w_lo{i}"), reps=1)
+            if rl2 is None or rl["sec"] < rl2["sec"]:
+                rl2 = rl
+            os.sync()
         thr_h2, thr_l2 = n2 / rh2["sec"], n2 / rl2["sec"]
         weak = {
             "rows": n2,

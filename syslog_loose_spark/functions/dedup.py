@@ -573,7 +573,11 @@ def dedup_incremental_fp(new_docs: DataFrame, seen_fps: DataFrame,
     from .text import normalize_text
 
     fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
-    seen = seen_fps.select(F.col(fp_col).alias("fp")).distinct()
+    # no distinct on the seen side: left_anti semantics are unchanged by
+    # right-side duplicates, and content_fingerprints already dedups the
+    # state table it writes — re-aggregating it here would add a full
+    # exchange+hash-agg over the history per increment (r6 review)
+    seen = seen_fps.select(F.col(fp_col).alias("fp"))
     return (new_docs.withColumn("fp", fp)
             .join(seen, "fp", "left_anti")
             .drop("fp"))

@@ -226,8 +226,6 @@ def remove_boilerplate_lines(df, min_docs: int = 3,
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
-
-
     """Gopher/C4-style repetition signals per document:
 
       * dup_word_frac   — 1 − distinct words / total words (how much of

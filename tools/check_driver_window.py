@@ -43,7 +43,7 @@ def audit(repo: str = REPO) -> dict:
         rnd = re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1)
         per_round[rnd] = set(json.load(open(path)))
     ever = set().union(*per_round.values()) if per_round else set()
-    latest = per_round[max(per_round)] if per_round else set()
+    latest = per_round[max(per_round, key=int)] if per_round else set()
 
     windowed = names[:WINDOW]
     outside = names[WINDOW:]

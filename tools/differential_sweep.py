@@ -130,11 +130,14 @@ def worker(args):
          c_pname, c_msgid, c_sd, c_msg, c_ok) = cols
         for i, raw in enumerate(rows):
             om = parse_message(raw, cfg)
+            o_off = (None if om.timestamp is None else
+                     int(om.timestamp.utcoffset().total_seconds()))
+            e_off = c_off[i] if c_ts[i] is not None else None
             eng = (c_proto[i], c_ver[i], c_fac[i], c_sev[i], c_ts[i],
-                   c_host[i], c_app[i], c_pid[i], c_pname[i], c_msgid[i],
-                   c_sd[i], c_msg[i])
+                   e_off, c_host[i], c_app[i], c_pid[i], c_pname[i],
+                   c_msgid[i], c_sd[i], c_msg[i])
             ora = (om.protocol, om.version, om.facility, om.severity,
-                   _norm_ts(om.timestamp), om.hostname, om.appname,
+                   _norm_ts(om.timestamp), o_off, om.hostname, om.appname,
                    om.procid_pid, om.procid_name, om.msgid,
                    om.structured_data, om.msg)
             if eng != ora:
