@@ -2524,6 +2524,59 @@ FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_duplicated_ngram_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus self-duplication signal (dedup.duplicated_ngram_stats):
+    the synthetic corpus has no natural 8-gram overlap, so duplication
+    is PLANTED — every doc with doc_id % 13 == 2 appends the full text
+    of template doc 89*(doc_id % 5) (COALESCE-guarded like the
+    decontaminate planting), so template grams recur across ~8 docs per
+    key plus the template itself and must be flagged, while body grams
+    stay unique."""
+    docs = _t(spark, sf_dir, "documents")
+    tpl = docs.where(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") / 89).cast("long").alias("k"),
+        F.col("text").alias("tpl_text"))
+    aug = (docs.join(F.broadcast(tpl),
+                     F.col("doc_id") % 5 == F.col("k"), "left")
+           .select("doc_id", F.when(
+               (F.col("doc_id") % 13 == 2) & F.col("tpl_text").isNotNull(),
+               F.concat_ws(" ", "text", "tpl_text"))
+               .otherwise(F.col("text")).alias("text")))
+    return (D.duplicated_ngram_stats(aug, n=8, min_docs=3)
+            .orderBy("doc_id"))
+
+
+def _oracle_duplicated_ngram_stats() -> str:
+    grams = ("CASE WHEN len(ws) >= 8 THEN [array_to_string(ws[i:i+7], ' ') "
+             "for i in range(1, len(ws) - 6)] "
+             "ELSE [array_to_string(ws, ' ')] END")
+    return f"""
+WITH tpl AS (SELECT doc_id // 89 AS k, text AS tpl_text FROM documents
+             WHERE doc_id % 89 = 0),
+aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 13 = 2
+              THEN COALESCE(d.text || ' ' || t.tpl_text, d.text)
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN tpl t ON t.k = d.doc_id % 5),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({grams}) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM aug))),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 3),
+per AS (SELECT doc_id, COUNT(*) AS n_dup
+        FROM g JOIN dup USING (gram) GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+       ROUND(CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+             / greatest(t.n_grams, 1), 4) AS dup_frac
+FROM tot t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2613,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "mix_sources": q_mix_sources,
         "boilerplate_lines": q_boilerplate_lines,
+        "duplicated_ngram_stats": q_duplicated_ngram_stats,
         "syslog_parse_golden": q_syslog_parse_golden,
         "syslog_enrich_pri_agg": q_syslog_enrich_pri_agg,
         "syslog_route_counts": q_syslog_route_counts,
@@ -2624,7 +2678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_quantiles_approx": q_events_quantiles_approx,
-        "brand_revenue": q_brand_revenue,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -2663,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_resize": q_multimodal_real_resize,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "brand_revenue": q_brand_revenue,
     }
 
 
@@ -2678,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": _oracle_dedup_normalized(),
         "mix_sources": _oracle_mix_sources(),
         "boilerplate_lines": _oracle_boilerplate_lines(),
+        "duplicated_ngram_stats": _oracle_duplicated_ngram_stats(),
         "syslog_parse_golden": _oracle_parse_golden(),
         "syslog_enrich_pri_agg": _oracle_enrich_pri_agg(),
         "syslog_route_counts": _oracle_route_counts(),
@@ -2689,7 +2744,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _oracle_events_hourly(),
         "events_sessionize": _oracle_sessionize(),
         "events_quantiles_approx": _oracle_events_quantiles_approx(),
-        "brand_revenue": _oracle_brand_revenue(),
         "dedup_exact": _oracle_dedup_exact(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_signatures": _oracle_minhash(),
@@ -2728,4 +2782,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_resize": _oracle_multimodal_real_resize(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frame_sample": _oracle_multimodal_frame_sample(),
+        "brand_revenue": _oracle_brand_revenue(),
     }

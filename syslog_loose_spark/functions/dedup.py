@@ -534,6 +534,45 @@ def contamination_hits(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
             .select(F.col("id").alias(id_col), "n_hits"))
 
 
+def duplicated_ngram_stats(docs: DataFrame, n: int = 8,
+                           min_docs: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Corpus SELF-duplication signal (the Lee-et-al "deduplicating
+    training data" measurement): per document, how many of its distinct
+    word n-grams also occur in at least ``min_docs`` documents corpus-wide
+    — high dup_frac marks templated/mirrored/boilerplate-heavy pages that
+    survive document-level dedup because their full texts differ.
+
+    Scale shape: one (gram -> distinct-doc count) hash aggregation builds
+    the duplicated-gram set; each doc counts its members against it and
+    derives dup_frac.  The duplicated set grows with the corpus, so the
+    join carries NO broadcast hint (AQE decides — same contract as
+    word_rarity_stats / remove_boilerplate_lines).  The gram stream
+    shuffles once for the count and once for the per-doc agg; nothing is
+    collected.  Returns (id, n_grams, n_dup, dup_frac)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            shingles(F.col(text_col), n))).alias("gram"))
+    dup = (grams.groupBy("gram")
+           .agg(F.count_distinct("id").alias("nd"))
+           .where(F.col("nd") >= min_docs).select("gram"))
+    per = (grams.join(dup, "gram")
+           .groupBy("id").agg(F.count(F.lit(1)).alias("n_dup")))
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles(F.col(text_col), n)))
+         .alias("n_grams"))
+    return (totals.join(per, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.coalesce(F.col("n_dup"), F.lit(0))
+                     .cast("long").alias("n_dup"))
+            .withColumn("dup_frac", F.round(
+                F.col("n_dup") / F.greatest(F.col("n_grams"), F.lit(1)),
+                4)))
+
+
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                   min_hits: int = 1, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

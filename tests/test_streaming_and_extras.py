@@ -1271,3 +1271,26 @@ def test_incremental_dedup_two_crawl_cycle(spark, tmp_path):
                  D.dedup_incremental_fp(c3, seen_all).collect()}
     assert 1007 not in kept3_ids and 1035 not in kept3_ids
     assert {r["doc_id"] for r in c3.collect()} - kept3_ids == {1007, 1035}
+
+
+def test_duplicated_ngram_stats_planted(spark):
+    """Docs sharing a planted 10-word template have high dup_frac; docs
+    with unique bodies read 0; a doc shorter than n falls back to the
+    whole-text gram (shared short docs still count as duplicated)."""
+    tpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = ([(i, f"unique body {i} words only here now {i}")
+             for i in range(4)]
+            + [(10 + i, f"doc {10 + i} prefix {tpl}") for i in range(3)]
+            + [(20, "tiny"), (21, "tiny")])
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           D.duplicated_ngram_stats(df, n=8, min_docs=2).collect()}
+    for i in range(4):
+        assert out[i]["n_dup"] == 0 and out[i]["dup_frac"] == 0.0
+    for i in (10, 11, 12):
+        # the 10-word template inside a 4-word-prefixed doc yields
+        # duplicated 8-grams wholly inside the template span
+        assert out[i]["n_dup"] >= 3, out[i]
+        assert out[i]["dup_frac"] > 0
+    assert out[20]["n_grams"] == 1 and out[20]["n_dup"] == 1
+    assert out[21]["dup_frac"] == 1.0
