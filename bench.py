@@ -395,7 +395,9 @@ def main() -> None:
              "word_rarity", "ann_pq_topk", "ann_ivf_pq_topk",
              # r5 VERDICT item 5: IVF-Flat and LSH ANN had no per-query
              # datapoint, so a regression there was invisible in BENCH
-             "ann_ivf_topk", "ann_lsh_topk", "dedup_incremental_fp")
+             "ann_ivf_topk", "ann_lsh_topk", "dedup_incremental_fp",
+             # r6 additions: mixing, boilerplate pass, self-duplication
+             "mix_sources", "boilerplate_lines", "duplicated_ngram_stats")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
