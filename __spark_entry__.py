@@ -2577,6 +2577,98 @@ FROM tot t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (text.unigram_logprob_stats):
+    per-doc mean unigram log-probability (integer millinats) against
+    the corpus's own frequency table — the CCNet/KenLM filter shape
+    with no external LM.  Runs on the raw corpus: the synthetic vocab
+    is small and shared, so every doc's mean reflects its true
+    word-frequency mix and the full (sum, mean) pair pins both the
+    frequency join and the millinat quantization."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.unigram_logprob_stats(docs).orderBy("doc_id")
+
+
+def _oracle_unigram_logprob() -> str:
+    return """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+freq AS (SELECT wd, COUNT(*) AS c FROM w GROUP BY wd),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freq),
+lp AS (SELECT wd,
+              CAST(ROUND(LN(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT)
+                AS mn
+       FROM freq, tot),
+per AS (SELECT doc_id, COUNT(*) AS n_words, SUM(mn) AS sum_mn
+        FROM w JOIN lp USING (wd) GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_mn AS BIGINT) AS sum_logprob_mn,
+       ROUND(CAST(sum_mn AS DOUBLE) / n_words, 4) AS mean_logprob_mn
+FROM per ORDER BY doc_id
+"""
+
+
+def q_strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span excision (dedup.strip_duplicated_spans): same
+    template planting as duplicated_ngram_stats (docs with
+    doc_id % 13 == 2 append template doc 89*(doc_id % 5)), so the
+    planted template 8-grams recur across >= 3 docs and their covered
+    tokens must be stripped — from the copies AND the template doc
+    itself — while unique body text survives verbatim.  The md5 of the
+    rebuilt text pins token order and exact span boundaries."""
+    docs = _t(spark, sf_dir, "documents")
+    tpl = docs.where(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") / 89).cast("long").alias("k"),
+        F.col("text").alias("tpl_text"))
+    aug = (docs.join(F.broadcast(tpl),
+                     F.col("doc_id") % 5 == F.col("k"), "left")
+           .select("doc_id", F.when(
+               (F.col("doc_id") % 13 == 2) & F.col("tpl_text").isNotNull(),
+               F.concat_ws(" ", "text", "tpl_text"))
+               .otherwise(F.col("text")).alias("text")))
+    res = D.strip_duplicated_spans(aug, n=8, min_docs=3)
+    return (res.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"),
+        "n_words", "n_removed")
+        .orderBy("doc_id"))
+
+
+def _oracle_strip_duplicated_spans() -> str:
+    return """
+WITH tpl AS (SELECT doc_id // 89 AS k, text AS tpl_text FROM documents
+             WHERE doc_id % 89 = 0),
+aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 13 = 2
+              THEN COALESCE(d.text || ' ' || t.tpl_text, d.text)
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN tpl t ON t.k = d.doc_id % 5),
+ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7))
+                        AS i) s),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 3),
+cov AS (SELECT doc_id, pos + o AS tp
+        FROM g JOIN dup USING (gram),
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS o) t),
+toks AS (SELECT doc_id, i - 1 AS tp, ws[i] AS wd
+         FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                           AS i) s2),
+kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+                string_agg(wd, ' ' ORDER BY tp) AS new_text
+         FROM toks ANTI JOIN cov USING (doc_id, tp)
+         GROUP BY doc_id),
+tot AS (SELECT doc_id, len(ws) AS n_words FROM ws)
+SELECT t.doc_id,
+       md5(COALESCE(k.new_text, '')) AS clean_md5,
+       CAST(t.n_words AS BIGINT) AS n_words,
+       CAST(t.n_words - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2656,6 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "unigram_logprob": q_unigram_logprob,
+        "strip_duplicated_spans": q_strip_duplicated_spans,
         "word_rarity": q_word_rarity,
         "pii_scrub": q_pii_scrub,
         "decontaminate_benchmark": q_decontaminate_benchmark,
@@ -2722,6 +2816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unigram_logprob": _oracle_unigram_logprob(),
+        "strip_duplicated_spans": _oracle_strip_duplicated_spans(),
         "word_rarity": _oracle_word_rarity(),
         "pii_scrub": _oracle_pii_scrub(),
         "decontaminate_benchmark": _oracle_decontaminate(),

@@ -573,6 +573,72 @@ def duplicated_ngram_stats(docs: DataFrame, n: int = 8,
                 4)))
 
 
+def strip_duplicated_spans(docs: DataFrame, n: int = 8,
+                           min_docs: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The ACTIONABLE sibling of duplicated_ngram_stats — the Lee-et-al
+    "Deduplicating Training Data" EXSUBSTR shape re-expressed over word
+    n-grams: excise from every document each token covered by an n-gram
+    that occurs in >= ``min_docs`` DISTINCT documents, keeping the rest
+    of the text intact (document-level dedup can't touch these — the
+    surrounding text differs).  Overlapping duplicated spans merge
+    naturally because removal is per covered TOKEN position.
+
+    Edge semantics: documents shorter than ``n`` tokens produce no
+    grams (they cannot contain an n-token duplicated span) and pass
+    through verbatim — deliberately NOT the whole-doc fallback gram
+    ``shingles`` uses for set-similarity.
+
+    Scale shape: positional grams stream through one
+    (gram -> distinct-doc count) hash aggregation to build the
+    duplicated set; the occurrence join carries NO broadcast hint (the
+    duplicated set grows with the corpus — same contract as
+    duplicated_ngram_stats / word_rarity_stats).  Only MATCHED
+    occurrences (rare) fan out to their n covered positions; the token
+    stream drops covered positions via one LEFT ANTI join on
+    (id, pos) and reassembles in original order (array_sort on the
+    collected (pos, word) structs — the remove_boilerplate_lines
+    pattern).  Nothing is collected.  Returns
+    (id, text, n_words, n_removed) with ``text`` rebuilt from the
+    surviving tokens."""
+    w = F.split(F.col(text_col), " ")
+    gram_arr = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(gram_arr).alias("pos", "gram"))
+    dup = (g.groupBy("gram")
+           .agg(F.count_distinct("id").alias("nd"))
+           .where(F.col("nd") >= min_docs).select("gram"))
+    covered = (g.join(dup, "gram")
+               .select("id", F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tp")))
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.posexplode(F.split(F.col(text_col), " "))
+                        .alias("tp", "wd"))
+    kept = (toks.join(covered, ["id", "tp"], "left_anti")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("tp", "wd"))),
+                         lambda st: st["wd"]), " ").alias("new_text")))
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"))
+    return (totals.join(kept, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col("new_text"), F.lit(""))
+                     .alias(text_col),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    (F.col("n_words")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                   min_hits: int = 1, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

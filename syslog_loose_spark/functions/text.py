@@ -178,6 +178,54 @@ def word_rarity_stats(df, max_rare_count: int = 2,
                 4)))
 
 
+def unigram_logprob_stats(df, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability against the corpus's
+    OWN word-frequency table — the Spark-native analog of the
+    CCNet/KenLM perplexity filter (Wenzek et al. 2020): documents whose
+    tokens the corpus rarely produces (gibberish, OCR noise, foreign
+    fragments) score a low (strongly negative) mean and can be
+    threshold-filtered, without shipping an external LM.
+
+    Determinism contract: each DISTINCT word's surprisal
+    ln(count/total) is quantized to integer MILLINATS
+    (round(ln p × 1000) → BIGINT) before any aggregation, so the only
+    floating-point step is one ln per vocabulary TYPE; a last-ulp
+    libm difference between the JVM and DuckDB is ~1e-13 of a
+    millinat — never enough to flip the integer rounding — and every
+    downstream sum/mean is integer/rational, so the oracle is exact.
+
+    Scale shape: one corpus-words hash aggregation builds the
+    frequency table (types, not tokens); the corpus total is a 1-row
+    aggregate OVER THAT TABLE (no second corpus scan) and is the only
+    forced broadcast (genuinely bounded).  The token stream then joins
+    the FULL type table — unlike word_rarity_stats there is no
+    head/tail split (every token needs its count), so this is the
+    canonical big hash join on the word key; no broadcast hint (the
+    vocabulary grows with the corpus, AQE decides).  One per-doc agg
+    derives the mean.  Returns
+    (id, n_words, sum_logprob_mn, mean_logprob_mn)."""
+    w = df.select(F.col(id_col).alias("id"),
+                  F.explode(words(F.col(text_col))).alias("wd"))
+    freq = w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp = (freq.crossJoin(F.broadcast(total))
+          .select("wd",
+                  F.round(F.log(F.col("c").cast("double")
+                                / F.col("total")) * 1000)
+                   .cast("long").alias("mn")))
+    per = (w.join(lp, "wd")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("mn").alias("sum_mn")))
+    return per.select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("sum_mn").cast("long").alias("sum_logprob_mn"),
+        F.round(F.col("sum_mn") / F.col("n_words"), 4)
+         .alias("mean_logprob_mn"))
+
+
 def remove_boilerplate_lines(df, min_docs: int = 3,
                              text_col: str = "text",
                              id_col: str = "doc_id"):

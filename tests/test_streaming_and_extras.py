@@ -1294,3 +1294,45 @@ def test_duplicated_ngram_stats_planted(spark):
         assert out[i]["dup_frac"] > 0
     assert out[20]["n_grams"] == 1 and out[20]["n_dup"] == 1
     assert out[21]["dup_frac"] == 1.0
+
+def test_strip_duplicated_spans_planted(spark):
+    """Tokens covered by a cross-doc duplicated 8-gram are excised —
+    and ONLY those: the unique prefix/suffix around a planted 10-word
+    template survives in order; fully-unique docs pass verbatim; docs
+    shorter than n are untouched even when exactly duplicated (the
+    documented no-whole-doc-fallback edge)."""
+    tpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = ([(i, f"u{i} v{i} w{i} {tpl} x{i} y{i}") for i in range(3)]
+            + [(50, "a wholly unique body with eight plus words in it")]
+            + [(60, "tiny doc"), (61, "tiny doc")])
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           D.strip_duplicated_spans(df, n=8, min_docs=3).collect()}
+    for i in range(3):
+        assert out[i]["n_words"] == 15 and out[i]["n_removed"] == 10
+        assert out[i]["text"] == f"u{i} v{i} w{i} x{i} y{i}"
+    assert out[50]["n_removed"] == 0
+    assert out[50]["text"] == "a wholly unique body with eight plus words in it"
+    for i in (60, 61):
+        assert out[i]["n_removed"] == 0 and out[i]["text"] == "tiny doc"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Millinat quantization pinned against hand-computed values on a
+    2-doc corpus (counts a=7, b=1, total=8), and the ordering contract:
+    a doc holding the corpus-rare word scores strictly lower."""
+    import math
+
+    from syslog_loose_spark.functions.text import unigram_logprob_stats
+
+    df = spark.createDataFrame([(1, "a a a a"), (2, "a a a b")],
+                               "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in unigram_logprob_stats(df).collect()}
+    mn_a = round(math.log(7 / 8) * 1000)   # -134
+    mn_b = round(math.log(1 / 8) * 1000)   # -2079
+    assert out[1]["n_words"] == 4
+    assert out[1]["sum_logprob_mn"] == 4 * mn_a
+    assert out[1]["mean_logprob_mn"] == round(4 * mn_a / 4, 4)
+    assert out[2]["sum_logprob_mn"] == 3 * mn_a + mn_b
+    assert out[2]["mean_logprob_mn"] == round((3 * mn_a + mn_b) / 4, 4)
+    assert out[2]["mean_logprob_mn"] < out[1]["mean_logprob_mn"]
