@@ -2669,6 +2669,251 @@ FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (text.gopher_quality_stats): the
+    synthetic corpus is single-line lowercase prose, so rule triggers
+    are PLANTED — every 6th doc gains two bullet lines, every 9th an
+    ellipsis line, every 10th five ``###`` symbol words, and every even
+    doc three extra required-stopword types (the base vocabulary holds
+    only 'the', so odd docs fail the >=2-stopword rule).  All eight
+    counts plus the integer-exact pass flag are emitted, so the oracle
+    pins every rule, not just the conjunction."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" and that with"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" ### ### ### ### ###"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\n- bullet item one\n- bullet item two"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("\ntrailing thought..."))
+         .otherwise(F.lit(""))).alias("text"))
+    return (T.gopher_quality_stats(aug, min_words=30)
+            .orderBy("doc_id"))
+
+
+_GOPHER_AUG_SQL = (
+    "text || "
+    "CASE WHEN doc_id % 2 = 0 THEN ' and that with' ELSE '' END || "
+    "CASE WHEN doc_id % 10 = 0 THEN ' ### ### ### ### ###' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN chr(10) || '- bullet item one' || "
+    "chr(10) || '- bullet item two' ELSE '' END || "
+    "CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'trailing thought...' "
+    "ELSE '' END")
+
+
+def _oracle_gopher_quality() -> str:
+    stops = ",".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
+    return f"""
+WITH aug AS (SELECT doc_id, {_GOPHER_AUG_SQL} AS text FROM documents),
+c AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM aug),
+n AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+             AS n_chars_w,
+         CAST(len(list_filter(ws, w -> contains(w, '#')
+                              OR contains(w, '...'))) AS BIGINT)
+             AS n_symbol_words,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_distinct(list_filter(ws,
+              w -> lower(w) IN ({stops})))) AS BIGINT) AS n_stop_types,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ls, l -> starts_with(l, '-')
+                              OR starts_with(l, '*'))) AS BIGINT)
+             AS n_bullet_lines,
+         CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+             AS n_ellipsis_lines
+  FROM c)
+SELECT doc_id, n_words, n_chars_w, n_symbol_words, n_alpha_words,
+       n_stop_types, n_lines, n_bullet_lines, n_ellipsis_lines,
+       CAST(n_words >= 30 AND n_words <= 100000
+            AND 3 * n_words <= n_chars_w AND n_chars_w <= 10 * n_words
+            AND 10 * n_symbol_words <= n_words
+            AND 10 * n_alpha_words >= 8 * n_words
+            AND n_stop_types >= 2
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines AS BIGINT) AS passes
+FROM n ORDER BY doc_id
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (text.c4_line_filter): planted line mix — the
+    base text becomes a kept sentence (terminal '.'), every 3rd doc
+    gains a javascript-mentioning line (line-dropped), every 4th a
+    second valid sentence (kept), every 5th a 2-word line (dropped:
+    < 5 words), every 7th an unterminated line (dropped), every 11th a
+    'lorem ipsum' sentence and every 13th a '{' sentence (both
+    DOC-vetoed).  min_kept_lines=2 so the doc-level veto varies with
+    the %4 planting.  clean_md5 pins kept-line order."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.concat(
+        F.col("text"), F.lit(" ."),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nthis line mentions javascript libraries here."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nan extra valid sentence with plenty of words!"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nshort line."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nno terminal punctuation on this line"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nfiller lorem ipsum appears in this sentence."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\ncurly { brace appears in this sentence."))
+         .otherwise(F.lit(""))).alias("text"))
+    res = T.c4_line_filter(aug, min_kept_lines=2)
+    return (res.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"),
+        "n_lines", "n_kept", "doc_kept")
+        .orderBy("doc_id"))
+
+
+_C4_AUG_SQL = (
+    "text || ' .' || "
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+    "'this line mentions javascript libraries here.' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN chr(10) || "
+    "'an extra valid sentence with plenty of words!' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'short line.' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+    "'no terminal punctuation on this line' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+    "'filler lorem ipsum appears in this sentence.' ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN chr(10) || "
+    "'curly ' || chr(123) || ' brace appears in this sentence.' "
+    "ELSE '' END")
+
+
+def _oracle_c4_line_filter() -> str:
+    return f"""
+WITH aug AS (SELECT doc_id, {_C4_AUG_SQL} AS text FROM documents),
+c AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(string_split(l, ' ')) >= 5
+                          AND (ends_with(l, '.') OR ends_with(l, '!')
+                               OR ends_with(l, '?') OR ends_with(l, '"'))
+                          AND NOT contains(lower(l), 'javascript'))
+             AS kept
+  FROM aug),
+f AS (
+  SELECT doc_id,
+         CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, chr(123))
+                   AND len(kept) >= 2
+              THEN 1 ELSE 0 END AS doc_kept,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         array_to_string(kept, chr(10)) AS new_text
+  FROM c)
+SELECT doc_id,
+       md5(CASE WHEN doc_kept = 1 THEN new_text ELSE '' END) AS clean_md5,
+       n_lines, n_kept, CAST(doc_kept AS BIGINT) AS doc_kept
+FROM f ORDER BY doc_id
+"""
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-lite template mining (aggregate.message_templates) over the
+    full tolerant parse of the cycled golden corpus: digit runs in msg
+    collapse to <#>, grouped per (appname, template) with counts and
+    the first-seen generated doc index.  Nulls (3164 lines with no tag;
+    fallback rows keep raw msg) are coalesced to '(none)' on BOTH sides
+    so cross-engine ordering never touches null-sort rules."""
+    from syslog_loose_spark.operators.aggregate import message_templates
+
+    _ensure_utc(spark)
+    toks = generate_tokenized(spark, N_GEN)
+    p = parse_tokenized(toks, CFG.parse)
+    base = p.select(
+        F.coalesce(F.col("appname"), F.lit("(none)")).alias("appname"),
+        F.coalesce(F.col("msg"), F.lit("(none)")).alias("msg"),
+        F.expr("cast(substring(doc_id, 5) as bigint)").alias("doc_id"))
+    return (message_templates(base)
+            .orderBy("appname", "template"))
+
+
+def _oracle_log_templates() -> str:
+    import re
+
+    rows = []
+    for i, m, _ok in _expected_messages():
+        app = m.appname if m.appname is not None else "(none)"
+        msg = m.msg if m.msg is not None else "(none)"
+        tpl = re.sub(r"[0-9]+", "<#>", msg)
+        rows.append(f"({i},{_lit(app)},{_lit(tpl)})")
+    return f"""
+WITH exp(idx, appname, template) AS (VALUES {','.join(rows)}),
+gen AS (SELECT i, CAST(i % {len(GOLDEN_CORPUS)} AS BIGINT) AS idx
+        FROM range(0, {N_GEN}) t(i))
+SELECT CAST(appname AS VARCHAR) AS appname,
+       CAST(template AS VARCHAR) AS template,
+       COUNT(*) AS n_msgs, MIN(i) AS first_seen_doc
+FROM gen JOIN exp USING (idx)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rate-anomaly detection (aggregate.rate_anomalies): the
+    synthetic event stream is near-uniform, so a burst is PLANTED —
+    first-hour events are tripled via two UNION ALL copies; those
+    buckets then exceed 2x their type's mean hourly rate and must flag,
+    while original hours must not.  Integer cross-multiplied predicate
+    keeps the flag exact on both engines."""
+    from syslog_loose_spark.operators.aggregate import rate_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    burst = ev.where(F.col("ts") < "2024-01-01 01:00:00")
+    aug = ev.unionAll(burst).unionAll(burst)
+    res = rate_anomalies(aug, factor=2)
+    return (res.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n", "key_total", "n_hours", "is_anomaly")
+        .orderBy("event_type", "hour"))
+
+
+def _oracle_events_rate_anomaly() -> str:
+    return """
+WITH aug AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE ts < TIMESTAMP '2024-01-01 01:00:00'
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE ts < TIMESTAMP '2024-01-01 01:00:00'),
+h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM aug GROUP BY 1, 2),
+p AS (SELECT event_type, SUM(n) AS key_total, COUNT(*) AS n_hours
+      FROM h GROUP BY 1)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(key_total AS BIGINT) AS key_total,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(n * n_hours > 2 * key_total AS BIGINT) AS is_anomaly
+FROM h JOIN p USING (event_type) ORDER BY event_type, hour
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2748,6 +2993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "log_templates": q_log_templates,
+        "events_rate_anomaly": q_events_rate_anomaly,
         "unigram_logprob": q_unigram_logprob,
         "strip_duplicated_spans": q_strip_duplicated_spans,
         "word_rarity": q_word_rarity,
@@ -2816,6 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_quality": _oracle_gopher_quality(),
+        "c4_line_filter": _oracle_c4_line_filter(),
+        "log_templates": _oracle_log_templates(),
+        "events_rate_anomaly": _oracle_events_rate_anomaly(),
         "unigram_logprob": _oracle_unigram_logprob(),
         "strip_duplicated_spans": _oracle_strip_duplicated_spans(),
         "word_rarity": _oracle_word_rarity(),

@@ -396,8 +396,14 @@ def main() -> None:
              # r5 VERDICT item 5: IVF-Flat and LSH ANN had no per-query
              # datapoint, so a regression there was invisible in BENCH
              "ann_ivf_topk", "ann_lsh_topk", "dedup_incremental_fp",
-             # r6 additions: mixing, boilerplate pass, self-duplication
-             "mix_sources", "boilerplate_lines", "duplicated_ngram_stats")
+             # r6 additions: mixing, boilerplate pass, self-duplication,
+             # perplexity-proxy quality, duplicated-span excision
+             "mix_sources", "boilerplate_lines", "duplicated_ngram_stats",
+             "unigram_logprob", "strip_duplicated_spans",
+             # Gopher/C4 curation filters, Drain-lite template mining,
+             # hourly rate-anomaly detection
+             "gopher_quality", "c4_line_filter", "log_templates",
+             "events_rate_anomaly")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

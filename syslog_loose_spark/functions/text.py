@@ -315,3 +315,117 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
                     F.round(F.coalesce(F.col("top_c") / F.col("total_bg"),
                                        F.lit(0.0)), 4)
                      .alias("top_bigram_frac")))
+
+
+# Gopher (Rae et al. 2021, §A1.1) required-stopword list — the rule is
+# "contains at least 2 of these 8", a cheap English-prose detector.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(df, min_words: int = 50, max_words: int = 100000,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) as ONE
+    per-row column expression — the doc-level heuristics the repetition
+    operator does not cover:
+
+      * word count in [min_words, max_words]
+      * mean word length in [3, 10] characters
+      * symbol-word ratio (``#`` / ``...`` words) <= 10%
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct GOPHER_STOPWORDS present
+      * <= 90% of lines start with a bullet (``-`` / ``*``)
+      * <= 30% of lines end with an ellipsis (``...``)
+
+    Every threshold is evaluated in INTEGER cross-multiplied form
+    (e.g. ``10 * n_symbol_words <= n_words`` instead of a float ratio
+    compare), so the pass flags cannot flip on a last-ulp division
+    difference and the DuckDB oracle is exact.
+
+    Scale shape: pure per-row JVM expressions (no join, no shuffle, no
+    Python) — whole-stage-codegen over the scan; at 100 TB this is the
+    map side of whatever agg or write follows.  Returns the raw counts
+    plus ``passes`` so downstream can re-threshold without a rescan."""
+    ws = words(F.col(text_col))
+    lns = F.split(F.col(text_col), "\n")
+    n_words = F.size(ws)
+    n_chars_w = F.aggregate(ws, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    n_symbol = F.size(F.filter(
+        ws, lambda x: x.contains("#") | x.contains("...")))
+    n_alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.array_distinct(F.filter(
+        ws, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))))
+    n_lines = F.size(lns)
+    n_bullet = F.size(F.filter(
+        lns, lambda x: x.startswith("-") | x.startswith("*")))
+    n_ellipsis = F.size(F.filter(lns, lambda x: x.endswith("...")))
+    c = df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        n_chars_w.alias("n_chars_w"),
+        n_symbol.cast("long").alias("n_symbol_words"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stop_types"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ellipsis.cast("long").alias("n_ellipsis_lines"))
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.lit(3) * F.col("n_words") <= F.col("n_chars_w"))
+        & (F.col("n_chars_w") <= F.lit(10) * F.col("n_words"))
+        & (F.lit(10) * F.col("n_symbol_words") <= F.col("n_words"))
+        & (F.lit(10) * F.col("n_alpha_words") >= F.lit(8) * F.col("n_words"))
+        & (F.col("n_stop_types") >= 2)
+        & (F.lit(10) * F.col("n_bullet_lines") <= F.lit(9) * F.col("n_lines"))
+        & (F.lit(10) * F.col("n_ellipsis_lines")
+           <= F.lit(3) * F.col("n_lines")))
+    return c.select(
+        F.col("id").alias(id_col), "n_words", "n_chars_w",
+        "n_symbol_words", "n_alpha_words", "n_stop_types", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines",
+        passes.cast("long").alias("passes"))
+
+
+def c4_line_filter(df, min_line_words: int = 5, min_kept_lines: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) — line-level
+    excision plus document-level veto:
+
+      * keep only lines with >= min_line_words words that end in a
+        terminal punctuation mark (``.``, ``!``, ``?``, ``"``) and do
+        not mention "javascript" (case-insensitive)
+      * veto the whole document if it contains "lorem ipsum"
+        (case-insensitive) or a ``{`` anywhere, or keeps fewer than
+        min_kept_lines lines
+
+    Unlike remove_boilerplate_lines there is NO cross-document state —
+    the rules are per-row, so this is a pure map over the scan (no
+    shuffle, no Python; whole-stage codegen).  Filter-rate variety
+    comes from the rules, determinism from string/integer ops only.
+    Returns (id, text, n_lines, n_kept, doc_kept) where ``text`` is the
+    rebuilt doc (kept lines, original order; '' when vetoed) and
+    doc_kept is 0/1."""
+    lns = F.split(F.col(text_col), "\n")
+    keep_line = lambda x: (
+        (F.size(F.split(x, " ")) >= min_line_words)
+        & (x.endswith(".") | x.endswith("!") | x.endswith("?")
+           | x.endswith('"'))
+        & ~F.lower(x).contains("javascript"))
+    kept_arr = F.filter(lns, keep_line)
+    c = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("orig"),
+        F.size(lns).cast("long").alias("n_lines"),
+        kept_arr.alias("kept_arr"))
+    doc_kept = (
+        ~F.lower(F.col("orig")).contains("lorem ipsum")
+        & ~F.col("orig").contains("{")
+        & (F.size("kept_arr") >= min_kept_lines))
+    return c.select(
+        F.col("id").alias(id_col),
+        F.when(doc_kept, F.array_join("kept_arr", "\n"))
+         .otherwise(F.lit("")).alias(text_col),
+        "n_lines",
+        F.size("kept_arr").cast("long").alias("n_kept"),
+        doc_kept.cast("long").alias("doc_kept"))

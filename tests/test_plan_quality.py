@@ -271,3 +271,37 @@ def test_pq_codebook_trains_on_bounded_sample(spark):
     a = S.pq_codebooks(emb, m=4, ks=8, dim=16, train_n=100).collect()
     b = S.pq_codebooks(manual, m=4, ks=8, dim=16, train_n=0).collect()
     assert a == b
+
+
+def test_gopher_c4_pure_map_no_exchange(spark, tmp_path):
+    """The per-row curation filters (Gopher rules, C4 line filter) must
+    stay whole-stage-codegen maps over the scan: zero exchanges, zero
+    Python boundaries — at 100 TB they are the map side of whatever
+    follows, never a shuffle of their own."""
+    from syslog_loose_spark.functions.text import (c4_line_filter,
+                                                   gopher_quality_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox."), (2, "- a\n- b")],
+        "doc_id LONG, text STRING")
+    for op in (gopher_quality_stats, c4_line_filter):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_rate_anomalies_two_exchanges_window_over_aggregate(spark):
+    """rate_anomalies computes per-key totals via a window OVER the
+    hourly aggregate, not a rollup+self-join: exactly two exchanges
+    (hash agg + window repartition), and the window input is the
+    aggregate, so the raw event stream is shuffled once only."""
+    import datetime as dt
+
+    from syslog_loose_spark.operators.aggregate import rate_anomalies
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h), "t") for h in range(4)],
+        "ts TIMESTAMP, event_type STRING")
+    plan = _plan(rate_anomalies(ev))
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan

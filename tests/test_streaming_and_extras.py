@@ -1336,3 +1336,111 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2]["sum_logprob_mn"] == 3 * mn_a + mn_b
     assert out[2]["mean_logprob_mn"] == round((3 * mn_a + mn_b) / 4, 4)
     assert out[2]["mean_logprob_mn"] < out[1]["mean_logprob_mn"]
+
+
+def test_gopher_quality_stats_hand_computed(spark):
+    """Each Gopher rule pinned on a purpose-built doc: a passing prose
+    doc, a bullet-list doc (bullet rule), a symbol-spam doc, and a
+    stopword-free doc; counts AND the integer-exact pass flag."""
+    from syslog_loose_spark.functions.text import gopher_quality_stats
+
+    good = "the quick brown fox and the lazy dog run with that pace " * 5
+    rows = [
+        (1, good.strip()),                              # 55 words, passes
+        (2, "- the of and one\n- two bullet line\n- three bullet line"),
+        (3, "the cat sat with ### ### ### ### ### ### mat of it"),
+        (4, "zebra quagga okapi tapir dugong manatee numbat wombat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           gopher_quality_stats(df, min_words=8).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 60 and r1["passes"] == 1
+    assert r1["n_stop_types"] == 4          # the, and, with, that
+    assert r1["n_bullet_lines"] == 0 and r1["n_ellipsis_lines"] == 0
+    r2 = out[2]                             # ALL 3 lines start with '-'
+    assert r2["n_lines"] == 3 and r2["n_bullet_lines"] == 3
+    assert r2["passes"] == 0                # 10*3 > 9*3 fails bullet rule
+    r3 = out[3]
+    assert r3["n_symbol_words"] == 6 and r3["n_words"] == 13
+    assert r3["passes"] == 0                # 10*6 > 13 fails symbol rule
+    r4 = out[4]
+    assert r4["n_stop_types"] == 0 and r4["passes"] == 0
+
+
+def test_c4_line_filter_hand_computed(spark):
+    """Line keep/drop rules and the doc-level vetoes, each on its own
+    planted doc; rebuilt text pins kept-line order."""
+    from syslog_loose_spark.functions.text import c4_line_filter
+
+    s1 = "this is a fine sentence."
+    s2 = "another perfectly good sentence right here!"
+    rows = [
+        (1, f"{s1}\n{s2}\nshort one.\nno terminal punctuation here at all"),
+        (2, f"{s1}\nthis line mentions JavaScript libraries today.\n{s2}"),
+        (3, f"{s1}\n{s2}\nfiller lorem ipsum in this long sentence."),
+        (4, f"{s1}\n{s2}\ncurly {{ brace in this long sentence."),
+        (5, s1),                            # only 1 kept line -> vetoed
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           c4_line_filter(df, min_kept_lines=2).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 2
+    assert out[1]["doc_kept"] == 1 and out[1]["text"] == f"{s1}\n{s2}"
+    assert out[2]["n_kept"] == 2 and out[2]["doc_kept"] == 1
+    assert out[2]["text"] == f"{s1}\n{s2}"   # js line excised, order kept
+    assert out[3]["doc_kept"] == 0 and out[3]["text"] == ""   # lorem veto
+    assert out[4]["doc_kept"] == 0 and out[4]["text"] == ""   # { veto
+    assert out[5]["n_kept"] == 1 and out[5]["doc_kept"] == 0
+
+
+def test_message_templates_hand_computed(spark):
+    """Digit runs collapse to <#> (ASCII-only by design); counts and
+    first-seen exemplar per (appname, template)."""
+    from syslog_loose_spark.operators.aggregate import message_templates
+
+    rows = [
+        (0, "sshd", "connect from 10.1.2.3 port 51234"),
+        (1, "sshd", "connect from 192.168.0.9 port 22"),
+        (2, "sshd", "key exchange done"),
+        (3, "cron", "job 17 finished in 42ms"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, appname STRING, msg STRING")
+    out = {(r["appname"], r["template"]): r
+           for r in message_templates(df).collect()}
+    conn = out[("sshd", "connect from <#>.<#>.<#>.<#> port <#>")]
+    assert conn["n_msgs"] == 2 and conn["first_seen_doc"] == 0
+    assert out[("sshd", "key exchange done")]["n_msgs"] == 1
+    assert out[("cron", "job <#> finished in <#>ms")]["first_seen_doc"] == 3
+    assert len(out) == 3
+
+
+def test_rate_anomalies_hand_computed(spark):
+    """A planted 3x burst hour flags under factor=2; the steady hours
+    do not; cross-multiplied integer predicate verified by hand."""
+    import datetime as dt
+
+    from syslog_loose_spark.operators.aggregate import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'a': 2 events/hour for 4 hours, then a 9-event burst hour
+    for h in range(4):
+        for k in range(2):
+            rows.append((dt.datetime(2024, 1, 1, h, k), "a"))
+    for k in range(9):
+        rows.append((dt.datetime(2024, 1, 1, 4, k), "a"))
+    # type 'b': flat 3/hour for 3 hours — never anomalous
+    for h in range(3):
+        for k in range(3):
+            rows.append((dt.datetime(2024, 1, 1, h, k), "b"))
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = {(r["event_type"], r["hour"].hour): r
+           for r in rate_anomalies(df, factor=2).collect()}
+    # a: total 17 over 5 hours; burst hour 9*5=45 > 2*17=34 -> flag
+    assert out[("a", 4)]["is_anomaly"] == 1
+    assert out[("a", 4)]["key_total"] == 17 and out[("a", 4)]["n_hours"] == 5
+    for h in range(4):
+        assert out[("a", h)]["is_anomaly"] == 0   # 2*5=10 <= 34
+    for h in range(3):
+        assert out[("b", h)]["is_anomaly"] == 0   # 3*3=9 <= 2*9=18
