@@ -2914,6 +2914,70 @@ FROM h JOIN p USING (event_type) ORDER BY event_type, hour
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative keyword extraction (text.tfidf_top_terms): runs
+    on the raw corpus — the shared synthetic vocabulary gives every
+    term a real document frequency, so the integer millinat idf, the
+    fully-integer tf*idf score and the (score DESC, term ASC)
+    tie-broken top-3 cut are all pinned exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return (T.tfidf_top_terms(docs, k=3)
+            .withColumnRenamed("rank", "rnk")
+            .orderBy("doc_id", "rnk"))
+
+
+def _oracle_tfidf_top_terms() -> str:
+    return """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+tf AS (SELECT doc_id, wd, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+dfq AS (SELECT wd, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (SELECT wd, CAST(ROUND(LN(n_docs / df) * 1000) AS BIGINT) AS idf_mn
+        FROM dfq, nd),
+s AS (SELECT doc_id, wd AS term, CAST(tf AS BIGINT) AS tf, idf_mn,
+             CAST(tf * idf_mn AS BIGINT) AS score
+      FROM tf JOIN idf USING (wd)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM s)
+SELECT doc_id, term, tf, idf_mn, score, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.bigram_pmi_top): top-40 adjacent pairs
+    by millinat PMI with a >= 5 pair-count floor, on the raw corpus.
+    The sum-of-logs form is spelled in the SAME term order in the
+    DuckDB twin, so the float path is bit-identical; ties break on
+    (w1, w2) so the limit cut is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bigram_pmi_top(docs, k=40, min_count=5)
+
+
+def _oracle_bigram_pmi() -> str:
+    return """
+WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                         AS i) s),
+cxy AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+uni AS (SELECT unnest(ws) AS w FROM ws),
+cu AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY 1),
+tot AS (SELECT (SELECT CAST(SUM(cu) AS DOUBLE) FROM cu) AS t_tok,
+               (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM cxy) AS t_bg),
+s AS (SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+             CAST(ROUND((LN(n_pair) + 2.0 * LN(t_tok) - LN(t_bg)
+                         - LN(c1.cu) - LN(c2.cu)) * 1000) AS BIGINT)
+                 AS pmi_mn
+      FROM cxy JOIN cu c1 ON c1.w = cxy.w1
+               JOIN cu c2 ON c2.w = cxy.w2, tot
+      WHERE n_pair >= 5)
+SELECT * FROM s ORDER BY pmi_mn DESC, w1, w2 LIMIT 40
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-set curation: language filter + quality floor +
     exact dedup (keep lowest doc_id per content hash) — the shape of a
@@ -2993,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_pmi": q_bigram_pmi,
         "gopher_quality": q_gopher_quality,
         "c4_line_filter": q_c4_line_filter,
         "log_templates": q_log_templates,
@@ -3065,6 +3131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tfidf_top_terms": _oracle_tfidf_top_terms(),
+        "bigram_pmi": _oracle_bigram_pmi(),
         "gopher_quality": _oracle_gopher_quality(),
         "c4_line_filter": _oracle_c4_line_filter(),
         "log_templates": _oracle_log_templates(),

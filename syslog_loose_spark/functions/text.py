@@ -429,3 +429,102 @@ def c4_line_filter(df, min_line_words: int = 5, min_kept_lines: int = 3,
         "n_lines",
         F.size("kept_arr").cast("long").alias("n_kept"),
         doc_kept.cast("long").alias("doc_kept"))
+
+
+def tfidf_top_terms(df, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-document top-k keywords by TF-IDF against the corpus itself —
+    the classic corpus-relative term extractor (Sparck Jones 1972),
+    used in curation to tag documents and build topic mixes without an
+    external model.
+
+    Determinism contract (same scheme as unigram_logprob_stats): each
+    TYPE's idf = ln(n_docs / df) is quantized to integer MILLINATS
+    once, the per-(doc, term) score is the fully-integer
+    ``tf * idf_mn``, and the top-k cut ranks by (score DESC, term ASC)
+    — ties cannot flip across engines.
+
+    Scale shape: tokens collapse through a two-level (doc, term) hash
+    agg (map-side partial — the shuffle carries distinct terms per
+    doc); document frequency is one more hash agg over THAT relation;
+    n_docs is a 1-row broadcast.  The idf join is term-keyed with NO
+    broadcast hint (vocabulary grows with the corpus, AQE decides).
+    The final top-k is a row_number window partitioned by doc id —
+    maximal parallelism, each partition holds one doc's distinct
+    terms.  Returns (id, term, tf, idf_mn, score, rank)."""
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col).alias("id"),
+                  F.explode(words(F.col(text_col))).alias("wd"))
+    tf = w.groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("wd").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (dfreq.crossJoin(F.broadcast(n_docs))
+           .select("wd",
+                   F.round(F.log(F.col("n_docs") / F.col("df")) * 1000)
+                    .cast("long").alias("idf_mn")))
+    scored = (tf.join(idf, "wd")
+              .select("id", F.col("wd").alias("term"),
+                      F.col("tf").cast("long").alias("tf"), "idf_mn",
+                      (F.col("tf") * F.col("idf_mn")).alias("score")))
+    win = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored
+            .withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), "term", "tf", "idf_mn",
+                    "score", F.col("rank").cast("long").alias("rank")))
+
+
+def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-wide collocation extraction: top-k adjacent word pairs by
+    pointwise mutual information (Church & Hanks 1990) with a minimum
+    pair count — the standard phrase detector (word2vec's phrase pass,
+    Gensim Phrases) for building tokenizer merge hints or stop-phrase
+    lists from the corpus itself.
+
+    Determinism contract: pmi is computed per bigram TYPE as the
+    sum-of-logs form  ln(c_xy) + 2 ln(T) − ln(B) − ln(c_x) − ln(c_y)
+    (T = token count, B = bigram count; the factored form never
+    overflows where c_xy·T² would), quantized to integer millinats;
+    the DuckDB twin spells the SAME term order, so float addition is
+    bit-identical and ties break on (w1, w2).
+
+    Scale shape: one bigram hash agg (map-side partial — the shuffle
+    carries distinct pairs, not the token stream), one unigram hash
+    agg, two term-keyed joins with NO broadcast hints (vocabulary
+    grows with the corpus, AQE decides), two 1-row broadcast totals,
+    and a TakeOrdered top-k (per-partition partial, never a global
+    sort).  Returns (w1, w2, n_pair, pmi_mn)."""
+    ws = words(F.col(text_col))
+    bg = df.select(F.explode(F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2")))
+    ).otherwise(F.array())).alias("p")).select("p.w1", "p.w2")
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (df.select(F.explode(ws).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    tot = (uni.agg(F.sum("cu").cast("double").alias("t_tok"))
+           .crossJoin(cxy.agg(F.sum("n_pair").cast("double")
+                              .alias("t_bg"))))
+    scored = (cxy.where(F.col("n_pair") >= min_count)
+              .join(uni.withColumnRenamed("w", "w1")
+                       .withColumnRenamed("cu", "c1"), "w1")
+              .join(uni.withColumnRenamed("w", "w2")
+                       .withColumnRenamed("cu", "c2"), "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("w1", "w2",
+                      F.col("n_pair").cast("long").alias("n_pair"),
+                      F.round((F.log("n_pair")
+                               + F.lit(2.0) * F.log("t_tok")
+                               - F.log("t_bg") - F.log("c1")
+                               - F.log("c2")) * 1000)
+                       .cast("long").alias("pmi_mn")))
+    return (scored
+            .orderBy(F.desc("pmi_mn"), "w1", "w2")
+            .limit(k))

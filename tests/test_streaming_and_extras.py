@@ -1444,3 +1444,54 @@ def test_rate_anomalies_hand_computed(spark):
         assert out[("a", h)]["is_anomaly"] == 0   # 2*5=10 <= 34
     for h in range(3):
         assert out[("b", h)]["is_anomaly"] == 0   # 3*3=9 <= 2*9=18
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Integer millinat idf and fully-integer scores verified by hand
+    on a 5-doc corpus, including the (score DESC, term ASC) tie-break
+    between two equal-idf singleton terms."""
+    from syslog_loose_spark.functions.text import tfidf_top_terms
+
+    rows = [(1, "apple apple banana"), (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"), (4, "banana"),
+            (5, "apple durian")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {(r["doc_id"], r["rank"]): r
+           for r in tfidf_top_terms(df, k=2).collect()}
+    # n_docs=5; df: apple 2, banana 3, cherry 2, durian 2
+    # idf_mn: ln(5/2)*1000 -> 916; ln(5/3)*1000 -> 511
+    assert out[(1, 1)]["term"] == "apple" and out[(1, 1)]["score"] == 1832
+    assert out[(1, 2)]["term"] == "banana" and out[(1, 2)]["score"] == 511
+    assert out[(2, 1)]["term"] == "cherry" and out[(2, 1)]["score"] == 916
+    assert out[(3, 1)]["term"] == "cherry" and out[(3, 1)]["score"] == 2748
+    assert out[(3, 2)]["term"] == "durian"
+    assert out[(4, 1)]["term"] == "banana"
+    # the tie: apple and durian both score 916 -> term ASC breaks it
+    assert out[(5, 1)]["term"] == "apple" and out[(5, 2)]["term"] == "durian"
+    assert out[(5, 1)]["idf_mn"] == 916
+
+
+def test_bigram_pmi_hand_computed(spark):
+    """Millinat PMI on a 2-doc corpus small enough to enumerate: counts
+    a:3 b:3 c:1 (T=7), pairs (a,b):3 (b,a):1 (b,c):1 (B=5).  (a,b) and
+    (b,c) tie exactly at ln(49/15) -> the (w1, w2) tie-break orders
+    (a,b) first.  Expected values recomputed with math.log in the SAME
+    sum-of-logs term order as both engines."""
+    import math
+
+    from syslog_loose_spark.functions.text import bigram_pmi_top
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")],
+                               "doc_id LONG, text STRING")
+    out = bigram_pmi_top(df, k=3, min_count=1).collect()
+
+    def mn(cxy, cx, cy, t=7.0, b=5.0):
+        return round((math.log(cxy) + 2.0 * math.log(t) - math.log(b)
+                      - math.log(cx) - math.log(cy)) * 1000)
+
+    assert [(r["w1"], r["w2"], r["n_pair"], r["pmi_mn"]) for r in out] == [
+        ("a", "b", 3, mn(3, 3, 3)),      # 1184
+        ("b", "c", 1, mn(1, 3, 1)),      # 1184 (exact tie, w1 breaks)
+        ("b", "a", 1, mn(1, 3, 3)),      # 85
+    ]
+    assert out[0]["pmi_mn"] == out[1]["pmi_mn"] == 1184
