@@ -594,13 +594,15 @@ def strip_duplicated_spans(docs: DataFrame, n: int = 8,
     duplicated set; the occurrence join carries NO broadcast hint (the
     duplicated set grows with the corpus — same contract as
     duplicated_ngram_stats / word_rarity_stats).  Only MATCHED
-    occurrences (rare) fan out to their n covered positions; the token
-    stream drops covered positions via one LEFT ANTI join on
-    (id, pos) and reassembles in original order (array_sort on the
-    collected (pos, word) structs — the remove_boilerplate_lines
-    pattern).  Nothing is collected.  Returns
-    (id, text, n_words, n_removed) with ``text`` rebuilt from the
-    surviving tokens."""
+    occurrences (rare) fan out to their n covered positions, which
+    collapse to ONE position-set row per affected doc (collect_set —
+    bounded by that doc's own length); the rebuild is then a single
+    id-keyed join of the docs against that small set table plus a pure
+    per-row index-aware array filter.  The raw token stream is NEVER
+    exploded into a shuffle (the r6 first cut anti-joined every token
+    of the corpus — at web scale that shuffle dwarfs the duplicated
+    set by orders of magnitude).  Returns (id, text, n_words,
+    n_removed) with ``text`` rebuilt from the surviving tokens."""
     w = F.split(F.col(text_col), " ")
     gram_arr = F.when(
         F.size(w) >= n,
@@ -612,31 +614,21 @@ def strip_duplicated_spans(docs: DataFrame, n: int = 8,
     dup = (g.groupBy("gram")
            .agg(F.count_distinct("id").alias("nd"))
            .where(F.col("nd") >= min_docs).select("gram"))
-    covered = (g.join(dup, "gram")
-               .select("id", F.explode(F.sequence(
-                   F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tp")))
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.posexplode(F.split(F.col(text_col), " "))
-                        .alias("tp", "wd"))
-    kept = (toks.join(covered, ["id", "tp"], "left_anti")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_kept"),
-                 F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.struct("tp", "wd"))),
-                         lambda st: st["wd"]), " ").alias("new_text")))
-    totals = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_words"))
-    return (totals.join(kept, "id", "left")
+    rm = (g.join(dup, "gram")
+          .select("id", F.explode(F.sequence(
+              F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tp"))
+          .groupBy("id")
+          .agg(F.collect_set("tp").alias("rm")))
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.split(F.col(text_col), " ").alias("ws"))
+    rm_arr = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept_arr = F.filter(
+        "ws", lambda x, i: ~F.array_contains(rm_arr, i))
+    return (base.join(rm, "id", "left")
             .select(F.col("id").alias(id_col),
-                    F.coalesce(F.col("new_text"), F.lit(""))
-                     .alias(text_col),
-                    F.col("n_words").cast("long").alias("n_words"),
-                    (F.col("n_words")
-                     - F.coalesce(F.col("n_kept"), F.lit(0)))
-                    .cast("long").alias("n_removed")))
+                    F.array_join(kept_arr, " ").alias(text_col),
+                    F.size("ws").cast("long").alias("n_words"),
+                    F.size(rm_arr).cast("long").alias("n_removed")))
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
