@@ -195,29 +195,31 @@ def unigram_logprob_stats(df, text_col: str = "text",
     millinat — never enough to flip the integer rounding — and every
     downstream sum/mean is integer/rational, so the oracle is exact.
 
-    Scale shape: one corpus-words hash aggregation builds the
-    frequency table (types, not tokens); the corpus total is a 1-row
-    aggregate OVER THAT TABLE (no second corpus scan) and is the only
-    forced broadcast (genuinely bounded).  The token stream then joins
-    the FULL type table — unlike word_rarity_stats there is no
-    head/tail split (every token needs its count), so this is the
-    canonical big hash join on the word key; no broadcast hint (the
-    vocabulary grows with the corpus, AQE decides).  One per-doc agg
-    derives the mean.  Returns
+    Scale shape: the token stream collapses FIRST through a two-level
+    (doc, word) hash aggregation (map-side partial — the shuffle
+    carries distinct types per doc, never raw tokens); the corpus
+    frequency table is one more agg OVER that relation and the corpus
+    total a 1-row aggregate over THAT (the only forced broadcast,
+    genuinely bounded).  The word-keyed surprisal join then touches
+    per-doc TYPES weighted by tf — for natural text severalfold
+    smaller than the token stream, and exactly equal in the integer
+    result (sum tf·mn == sum of per-token mn).  No broadcast hint on
+    it (the vocabulary grows with the corpus, AQE decides).  Returns
     (id, n_words, sum_logprob_mn, mean_logprob_mn)."""
     w = df.select(F.col(id_col).alias("id"),
                   F.explode(words(F.col(text_col))).alias("wd"))
-    freq = w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    tf = w.groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("wd").agg(F.sum("tf").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     lp = (freq.crossJoin(F.broadcast(total))
           .select("wd",
                   F.round(F.log(F.col("c").cast("double")
                                 / F.col("total")) * 1000)
                    .cast("long").alias("mn")))
-    per = (w.join(lp, "wd")
+    per = (tf.join(lp, "wd")
            .groupBy("id")
-           .agg(F.count(F.lit(1)).alias("n_words"),
-                F.sum("mn").alias("sum_mn")))
+           .agg(F.sum("tf").alias("n_words"),
+                F.sum(F.col("tf") * F.col("mn")).alias("sum_mn")))
     return per.select(
         F.col("id").alias(id_col),
         F.col("n_words").cast("long").alias("n_words"),
@@ -235,13 +237,16 @@ def remove_boilerplate_lines(df, min_docs: int = 3,
     legalese repeat across pages; body text does not.
 
     Scale shape: explode lines -> one (line -> distinct-doc count) hash
-    aggregation builds the boilerplate set; each document then drops its
-    boilerplate members via a LEFT ANTI join on the line content and
-    reassembles with the original line order preserved (posexplode
-    carries the index).  Like word_rarity_stats, the frequent-line join
-    carries NO forced broadcast hint — boilerplate sets grow with the
-    corpus, so AQE picks broadcast vs shuffle join from the measured
-    size.  Pure string/integer ops — the DuckDB oracle is exact.
+    aggregation builds the boilerplate set; the occurrence join (NO
+    forced broadcast — boilerplate sets grow with the corpus, AQE
+    decides) is an INNER join, so only boilerplate occurrences shuffle,
+    and they collapse to one dropped-position-set row per affected doc
+    (collect_set — bounded by that doc's own line count).  The rebuild
+    is a single id-keyed join plus a pure per-row index-aware array
+    filter: the full line stream is never shuffled a second time (the
+    first cut anti-joined and re-collected every line of the corpus —
+    same fix as strip_duplicated_spans).  Pure string/integer ops —
+    the DuckDB oracle is exact.
 
     Returns (id, text, n_lines, n_dropped) with ``text`` rebuilt from
     the surviving lines."""
@@ -252,25 +257,19 @@ def remove_boilerplate_lines(df, min_docs: int = 3,
     boiler = (lines.groupBy("ln")
               .agg(F.count_distinct("id").alias("nd"))
               .where(F.col("nd") >= min_docs).select("ln"))
-    kept = (lines.join(boiler, "ln", "left_anti")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_kept"),
-                 F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.struct("pos", "ln"))),
-                         lambda st: st["ln"]), "\n").alias("new_text")))
-    totals = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
-    return (totals.join(kept, "id", "left")
+    rm = (lines.join(boiler, "ln")
+          .groupBy("id")
+          .agg(F.collect_set("pos").alias("rm")))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), "\n").alias("ls"))
+    rm_arr = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept_arr = F.filter(
+        "ls", lambda x, i: ~F.array_contains(rm_arr, i))
+    return (base.join(rm, "id", "left")
             .select(F.col("id").alias(id_col),
-                    F.coalesce(F.col("new_text"), F.lit(""))
-                     .alias(text_col),
-                    "n_lines",
-                    (F.col("n_lines")
-                     - F.coalesce(F.col("n_kept"), F.lit(0)))
-                    .cast("long").alias("n_dropped")))
+                    F.array_join(kept_arr, "\n").alias(text_col),
+                    F.size("ls").cast("long").alias("n_lines"),
+                    F.size(rm_arr).cast("long").alias("n_dropped")))
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
