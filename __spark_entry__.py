@@ -3027,6 +3027,111 @@ ORDER BY k.doc_id
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (text.heavy_hitter_words): the
+    two-pass Misra-Gries-candidates + exact-recount scheme — the big
+    shuffle carries only candidate words, never the full vocabulary.
+    The intermediate candidate SET is arrival-order-dependent; the
+    final output is exact and deterministic (superset guarantee +
+    recount), which is precisely what this driver row pins.  thr_ppm
+    33000 splits the synthetic vocabulary nontrivially at both driver
+    SFs (18 of 31 words at sf0.01, 20 at sf0.1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.heavy_hitter_words(docs, thr_ppm=33_000).orderBy("word")
+
+
+def _oracle_heavy_hitters() -> str:
+    return """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+tot AS (SELECT COUNT(*) AS total FROM w),
+c AS (SELECT wd, COUNT(*) AS n FROM w GROUP BY wd)
+SELECT wd AS word, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // total AS BIGINT) AS ppm
+FROM c, tot
+WHERE 1000000 * n >= 33000 * total
+ORDER BY word
+"""
+
+
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-calibrated quality cut (text.calibrated_quality_cut):
+    keep the top 60% of docs by integer mean-surprisal score, with the
+    threshold computed from a bounded histogram over the quantized
+    score (never a global sort).  keep_ppm 600000 lands the threshold
+    strictly inside the synthetic score distribution, so the row pins
+    the histogram walk, the exact integer ceil target, the
+    floor-division score quantization, and the ties-overshoot
+    contract."""
+    docs = _t(spark, sf_dir, "documents")
+    return (T.calibrated_quality_cut(docs, keep_ppm=600_000)
+            .orderBy("doc_id"))
+
+
+def _oracle_quality_calibrate() -> str:
+    return """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+freq AS (SELECT wd, COUNT(*) AS c FROM w GROUP BY wd),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freq),
+lp AS (SELECT wd,
+              CAST(ROUND(LN(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT)
+                AS mn
+       FROM freq, tot),
+per AS (SELECT doc_id, COUNT(*) AS n_words, SUM(mn) AS sum_mn
+        FROM w JOIN lp USING (wd) GROUP BY doc_id),
+scored AS (SELECT doc_id,
+                  CAST((sum_mn - ((sum_mn % n_words) + n_words) % n_words)
+                       / n_words AS BIGINT) AS score
+           FROM per),
+hist AS (SELECT score, COUNT(*) AS c FROM scored GROUP BY score),
+nd AS (SELECT COUNT(*) AS n FROM scored),
+cum AS (SELECT score,
+               SUM(c) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist),
+thr AS (SELECT MAX(score) AS thr FROM cum, nd
+        WHERE 1000000 * cum >= 600000 * n)
+SELECT s.doc_id, s.score,
+       CAST(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM scored s CROSS JOIN thr t
+ORDER BY s.doc_id
+"""
+
+
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step (text.bpe_merge_step): corpus-wide top
+    adjacent pair (count DESC, w1, w2 ties) merged greedily
+    left-to-right in every document via the wrapped-token replace
+    trick.  The per-doc (n_merges, n_tokens_after) pair pins both the
+    pair selection and the non-overlapping greedy scan semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_merge_step(docs, min_count=2).orderBy("doc_id")
+
+
+def _oracle_bpe_merge() -> str:
+    return """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                        AS i) s),
+pc AS (SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2
+       HAVING COUNT(*) >= 2),
+top AS (SELECT w1, w2 FROM pc ORDER BY c DESC, w1, w2 LIMIT 1),
+m AS (SELECT d.doc_id, t.w1, t.w2, len(d.ws) AS n_tokens,
+             chr(1) || array_to_string(d.ws, chr(2) || chr(1)) || chr(2)
+               AS s,
+             chr(1) || t.w1 || chr(2) || chr(1) || t.w2 || chr(2) AS pat
+      FROM ws d CROSS JOIN top t)
+SELECT doc_id, w1, w2, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((length(s) - length(replace(s, pat, chr(3))))
+            / (length(pat) - 1) AS BIGINT) AS n_merges,
+       CAST(n_tokens - (length(s) - length(replace(s, pat, chr(3))))
+            / (length(pat) - 1) AS BIGINT) AS n_tokens_after
+FROM m ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3057,6 +3162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "heavy_hitters": q_heavy_hitters,
+        "quality_calibrate": q_quality_calibrate,
+        "bpe_merge": q_bpe_merge,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_pmi": q_bigram_pmi,
         "gopher_quality": q_gopher_quality,
@@ -3131,6 +3239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": _oracle_heavy_hitters(),
+        "quality_calibrate": _oracle_quality_calibrate(),
+        "bpe_merge": _oracle_bpe_merge(),
         "tfidf_top_terms": _oracle_tfidf_top_terms(),
         "bigram_pmi": _oracle_bigram_pmi(),
         "gopher_quality": _oracle_gopher_quality(),

@@ -403,7 +403,10 @@ def main() -> None:
              # Gopher/C4 curation filters, Drain-lite template mining,
              # hourly rate-anomaly detection
              "gopher_quality", "c4_line_filter", "log_templates",
-             "events_rate_anomaly", "tfidf_top_terms", "bigram_pmi")
+             "events_rate_anomaly", "tfidf_top_terms", "bigram_pmi",
+             # exact MG heavy hitters, histogram-calibrated quality cut,
+             # one BPE merge step
+             "heavy_hitters", "quality_calibrate", "bpe_merge")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

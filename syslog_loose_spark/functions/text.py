@@ -476,6 +476,186 @@ def tfidf_top_terms(df, k: int = 5, text_col: str = "text",
                     "score", F.col("rank").cast("long").alias("rank")))
 
 
+def heavy_hitter_words(df, thr_ppm: int = 1000, capacity: int | None = None,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """EXACT corpus heavy hitters — every word holding at least
+    ``thr_ppm`` parts-per-million of the total token stream — without
+    ever shuffling the full vocabulary: the classic two-pass
+    candidates-then-recount scheme (Misra & Gries 1982; mergeable
+    summaries per Agarwal/Cormode et al. 2012).
+
+    Pass 1 runs a Misra–Gries sketch PER PARTITION inside one
+    ``mapInPandas`` (per-batch value_counts merged into a dict, then
+    truncated to ``capacity`` survivors by subtracting the
+    (capacity+1)-th largest count — the mergeable-summaries batch
+    decrement).  MG guarantees any item with partition-local frequency
+    > n_p/(capacity+1) survives; a globally thr_ppm-heavy word is at
+    least that frequent in SOME partition (averaging argument), so with
+    capacity >= 1e6/thr_ppm the candidate union is a SUPERSET of all
+    true heavy hitters — order-dependent as a set, but pass 2 makes the
+    final output exact and deterministic regardless.
+
+    Pass 2 recounts ONLY the candidates: the token stream semi-joins
+    the tiny candidate set (<= capacity x partitions rows; no forced
+    broadcast, AQE decides), so the groupBy shuffles heavy words only —
+    at 100 TB the difference between shuffling ~10^2 keys and shuffling
+    the 10^8+-type vocabulary.  The threshold compare is integer
+    cross-multiplied (1e6*c >= thr_ppm*total), never a float ratio, so
+    the DuckDB oracle (a plain GROUP BY ... HAVING over all words) is
+    exact.
+
+    Returns (word, n, ppm) with ppm = floor(1e6*n/total)."""
+    if capacity is None:
+        capacity = int(2_000_000 // max(thr_ppm, 1)) + 8
+
+    def _mg(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["t"].str.split(" ").explode().value_counts()
+            for wd, c in vc.items():
+                counters[wd] = counters.get(wd, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[capacity]
+                counters = {w: c - m for w, c in counters.items() if c > m}
+        yield pd.DataFrame({"wd": list(counters.keys()) or []},
+                           dtype="object")
+
+    cand = (df.select(F.col(text_col).alias("t"))
+            .mapInPandas(_mg, "wd string").distinct())
+    tokens = df.select(F.explode(words(F.col(text_col))).alias("wd"))
+    total = df.agg(F.sum(token_count(F.col(text_col)))
+                   .cast("long").alias("total"))
+    counts = (tokens.join(cand, "wd")
+              .groupBy("wd").agg(F.count(F.lit(1)).alias("n")))
+    return (counts.crossJoin(F.broadcast(total))
+            .where(F.lit(1_000_000) * F.col("n")
+                   >= F.lit(int(thr_ppm)) * F.col("total"))
+            .select(F.col("wd").alias("word"),
+                    F.col("n").cast("long").alias("n"),
+                    F.floor(F.lit(1_000_000) * F.col("n")
+                            / F.col("total"))
+                     .cast("long").alias("ppm")))
+
+
+def _floor_div(num, den):
+    """Exact floor division as pure integer column ops: Spark's % and
+    DuckDB's % are both truncated (sign-of-dividend) remainders, so
+    ((n % d) + d) % d is the canonical non-negative remainder on BOTH
+    engines and (n - that)/d is exactly divisible — no float division,
+    no engine-specific // semantics."""
+    pymod = ((num % den) + den) % den
+    return ((num - pymod) / den).cast("long")
+
+
+def calibrated_quality_cut(df, keep_ppm: int = 800_000,
+                           text_col: str = "text", id_col: str = "doc_id"):
+    """Percentile-calibrated quality filter: keep (flag) the top
+    ``keep_ppm`` parts-per-million of documents by unigram
+    log-probability — the CCNet recipe (Wenzek et al. 2020 cut their
+    corpus into perplexity terciles) where the THRESHOLD is computed
+    from the corpus's own score distribution instead of hand-tuned.
+
+    The scale problem is the percentile: an exact quantile over 10^11
+    docs is a global sort.  This never sorts docs — the per-doc score is
+    the INTEGER floor of mean surprisal millinats (``_floor_div`` of
+    unigram_logprob_stats sums), whose RANGE is bounded by token
+    entropy (~[-20000, 0]) independent of corpus size, so an exact
+    histogram is one bounded hash agg; the cumulative walk and
+    threshold pick run over that tiny relation, and the verdict joins
+    back as a 1-row broadcast.  The scored relation feeds both the
+    histogram and the output, so it is persisted through the bounded
+    dedup registry (recompute-on-evict safe).
+
+    Threshold contract (exact, oracle-replicable): T = the MAXIMUM
+    score s with  #{docs: score >= s} >= ceil(keep_ppm * n_docs / 1e6)
+    (integer ceil); every doc with score >= T is kept — ties at T may
+    overshoot the target fraction, never undershoot.  Returns
+    (id, score, kept) for ALL docs (kept is 0/1) so downstream can
+    re-threshold without a rescan."""
+    from .dedup import _track
+
+    scored = _track(
+        unigram_logprob_stats(df, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("id"),
+                _floor_div(F.col("sum_logprob_mn"),
+                           F.col("n_words")).alias("score")))
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    cum = (hist.crossJoin(F.broadcast(n_docs))
+           .withColumn("cum", F.sum("c").over(
+               Window.orderBy(F.desc("score"))
+               .rowsBetween(Window.unboundedPreceding, 0))))
+    thr = (cum.where(F.lit(1_000_000) * F.col("cum")
+                     >= F.lit(int(keep_ppm)) * F.col("n"))
+           .agg(F.max("score").alias("thr")))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(F.col("id").alias(id_col),
+                    F.col("score"),
+                    (F.col("score") >= F.col("thr"))
+                    .cast("long").alias("kept")))
+
+
+# Wrapper/sentinel characters for the greedy pair-merge string trick.
+# Tokens must not contain them — they are C0 controls no tokenizer
+# vocabulary emits; the operator's contract, asserted in tests.
+_BPE_OPEN, _BPE_CLOSE, _BPE_MARK = "\x01", "\x02", "\x03"
+
+
+def bpe_merge_step(df, min_count: int = 2,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """ONE training step of byte-pair encoding at word granularity
+    (Sennrich et al. 2016): find the corpus's most frequent ADJACENT
+    token pair, then greedily merge its non-overlapping occurrences
+    left-to-right in every document — the primitive a Spark-native
+    tokenizer trainer iterates.
+
+    The greedy-scan semantics ([a,a,a] with pair (a,a) merges ONCE)
+    is inherently sequential per document, but it maps exactly onto
+    ``replace``: each token is wrapped as \\x01tok\\x02, the pair
+    becomes the substring \\x01w1\\x02\\x01w2\\x02, and both Spark's
+    ``replace`` and DuckDB's scan left-to-right without rescanning
+    replaced output — so (len_before - len_after)/(len_pat - 1) IS the
+    greedy merge count, engine-portably.  Pair choice ties break on
+    (count DESC, w1 ASC, w2 ASC).
+
+    Scale shape: one adjacent-pair hash agg (map-side partial — the
+    shuffle carries distinct pair types, never the token stream), a
+    TakeOrdered(1) for the winner, then a pure per-row map with the
+    1-row pair broadcast — no second shuffle, no Python.  Returns
+    (id, w1, w2, n_tokens, n_merges, n_tokens_after)."""
+    ws = words(F.col(text_col))
+    pairs = (df.select(F.explode(F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2")))
+    ).otherwise(F.array())).alias("p")).select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .orderBy(F.desc("c"), "w1", "w2").limit(1))
+    wrapped = F.concat(
+        F.lit(_BPE_OPEN),
+        F.array_join(ws, _BPE_CLOSE + _BPE_OPEN),
+        F.lit(_BPE_CLOSE))
+    pat = F.concat(F.lit(_BPE_OPEN), F.col("w1"), F.lit(_BPE_CLOSE),
+                   F.lit(_BPE_OPEN), F.col("w2"), F.lit(_BPE_CLOSE))
+    merged = F.replace(wrapped, pat, F.lit(_BPE_MARK))
+    n_merges = _floor_div(
+        F.length(wrapped) - F.length(merged),
+        F.length(pat) - F.lit(1))
+    return (df.crossJoin(F.broadcast(pairs))
+            .select(F.col(id_col).alias(id_col),
+                    "w1", "w2",
+                    F.size(ws).cast("long").alias("n_tokens"),
+                    n_merges.alias("n_merges"),
+                    (F.size(ws) - n_merges).cast("long")
+                    .alias("n_tokens_after")))
+
+
 def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Corpus-wide collocation extraction: top-k adjacent word pairs by

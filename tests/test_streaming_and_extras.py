@@ -1495,3 +1495,79 @@ def test_bigram_pmi_hand_computed(spark):
         ("b", "a", 1, mn(1, 3, 3)),      # 85
     ]
     assert out[0]["pmi_mn"] == out[1]["pmi_mn"] == 1184
+
+
+def test_heavy_hitters_matches_naive_any_partitioning(spark):
+    """The two-pass MG candidates + exact recount must equal the naive
+    full groupBy-HAVING regardless of partition layout (the MG candidate
+    SET is arrival-order-dependent; the final output must not be), with
+    a capacity small enough to force the batch-decrement eviction."""
+    import random
+    from pyspark.sql import functions as F
+    from syslog_loose_spark.functions.text import heavy_hitter_words
+
+    rng = random.Random(17)
+    vocab = ["w%d" % i for i in range(30)]
+    # two planted heavy words + a long tail
+    rows = [(i, " ".join(
+        (["hot", "warm"] if i % 2 == 0 else ["hot"])
+        + [rng.choice(vocab) for _ in range(20)]))
+        for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    thr = 40_000  # 4% of tokens
+    naive_tokens = df.select(F.explode(F.split("text", " ")).alias("wd"))
+    total = naive_tokens.count()
+    naive = {(r["wd"], r["n"]) for r in
+             naive_tokens.groupBy("wd").agg(F.count(F.lit(1)).alias("n"))
+             .where(F.lit(1_000_000) * F.col("n") >= thr * F.lit(total))
+             .collect()}
+    assert naive, "fixture must produce at least one heavy hitter"
+    for parts in (1, 7):
+        got = {(r["word"], r["n"]) for r in
+               heavy_hitter_words(df.repartition(parts), thr_ppm=thr,
+                                  capacity=40).collect()}
+        assert got == naive
+    # eviction actually exercised: capacity 30 < vocab size 32, still a
+    # superset guarantee because 30 >= 1e6/thr = 25
+    got = {(r["word"], r["n"]) for r in
+           heavy_hitter_words(df.repartition(3), thr_ppm=thr,
+                              capacity=30).collect()}
+    assert got == naive
+
+
+def test_calibrated_quality_cut_threshold_contract(spark):
+    """kept == 1 exactly for docs whose integer mean-surprisal score is
+    >= T, where T is the max score keeping at least ceil(keep*n/1e6)
+    docs — recomputed per-row in Python from the operator's own scores."""
+    import math
+    from syslog_loose_spark.functions.text import calibrated_quality_cut
+
+    rows = [(i, " ".join(["common"] * 5 + ["rare%d" % (i * 7 + j)
+                                           for j in range(i % 4)]))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = calibrated_quality_cut(df, keep_ppm=600_000).collect()
+    assert len(out) == 40
+    scores = sorted((r["score"] for r in out), reverse=True)
+    target = math.ceil(600_000 * len(out) / 1_000_000)
+    thr = scores[target - 1]
+    for r in out:
+        assert r["kept"] == (1 if r["score"] >= thr else 0), r
+    n_kept = sum(r["kept"] for r in out)
+    assert n_kept >= target  # ties may overshoot, never undershoot
+
+
+def test_bpe_merge_step_greedy_semantics(spark):
+    """Top pair is (count DESC, w1, w2)-deterministic; merges are greedy
+    left-to-right non-overlapping: [a,a,a] merges ONCE, [a,a,a,a] twice."""
+    from syslog_loose_spark.functions.text import bpe_merge_step
+
+    rows = [(0, "a a a"), (1, "a a a a"), (2, "a a x a a"), (3, "b c")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in bpe_merge_step(df, min_count=2).collect()}
+    assert out[0]["w1"] == "a" and out[0]["w2"] == "a"
+    assert out[0]["n_merges"] == 1 and out[0]["n_tokens_after"] == 2
+    assert out[1]["n_merges"] == 2 and out[1]["n_tokens_after"] == 2
+    assert out[2]["n_merges"] == 2 and out[2]["n_tokens_after"] == 3
+    assert out[3]["n_merges"] == 0 and out[3]["n_tokens_after"] == 2
