@@ -3132,6 +3132,62 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE trainer (text.bpe_train), 3 rounds: each round one
+    pair-type aggregation whose top-1 row is collected, then a pure-JVM
+    greedy merge — the IVF-Lloyd-style iterative-algorithm shape.  The
+    md5 of each doc's final canonical token string pins every round's
+    pair CHOICE and every per-doc merge application transitively: one
+    wrong round anywhere diverges every affected hash.  The DuckDB twin
+    unrolls the three data-dependent rounds as explicit CTE stages."""
+    docs = _t(spark, sf_dir, "documents")
+    _, toks = T.bpe_train(docs, n_steps=3, min_count=2)
+    return (toks.select(
+        "doc_id", "n_tokens",
+        F.md5(F.encode(F.array_join("tokens", "\x02\x01"), "UTF-8"))
+         .alias("toks_md5"))
+        .orderBy("doc_id"))
+
+
+def _oracle_bpe_train() -> str:
+    # one unrolled round: pairs from the wrapped string of stage {i},
+    # top-1 by (count DESC, w1, w2), replace into stage {i+1}.  LEFT
+    # JOIN ON TRUE + COALESCE keeps the stage a no-op when no pair
+    # reaches min_count (the engine's loop `break`).
+    def stage(i):
+        return f"""
+tk{i} AS (SELECT doc_id,
+                 string_split(substr(s, 2, length(s) - 2),
+                              chr(2) || chr(1)) AS ws
+          FROM s{i}),
+p{i} AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+         FROM tk{i}, LATERAL (SELECT unnest(generate_series(
+                              1, len(ws) - 1)) AS i) u),
+t{i} AS (SELECT w1, w2 FROM (SELECT w1, w2, COUNT(*) AS c FROM p{i}
+                             GROUP BY w1, w2 HAVING COUNT(*) >= 2)
+         ORDER BY c DESC, w1, w2 LIMIT 1),
+s{i + 1} AS (SELECT doc_id,
+                    COALESCE(replace(s.s,
+                             chr(1) || t.w1 || chr(2) || chr(1)
+                                     || t.w2 || chr(2),
+                             chr(1) || t.w1 || chr(31) || t.w2
+                                     || chr(2)), s.s) AS s
+             FROM s{i} s LEFT JOIN t{i} t ON TRUE)"""
+
+    return f"""
+WITH s0 AS (SELECT doc_id,
+                   chr(1) || array_to_string(string_split(text, ' '),
+                                             chr(2) || chr(1)) || chr(2)
+                     AS s
+            FROM documents),{stage(0)},{stage(1)},{stage(2)}
+SELECT doc_id,
+       CAST(len(string_split(substr(s, 2, length(s) - 2),
+                             chr(2) || chr(1))) AS BIGINT) AS n_tokens,
+       md5(substr(s, 2, length(s) - 2)) AS toks_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3163,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
         "heavy_hitters": q_heavy_hitters,
+        "bpe_train": q_bpe_train,
         "quality_calibrate": q_quality_calibrate,
         "bpe_merge": q_bpe_merge,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3240,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _oracle_heavy_hitters(),
+        "bpe_train": _oracle_bpe_train(),
         "quality_calibrate": _oracle_quality_calibrate(),
         "bpe_merge": _oracle_bpe_merge(),
         "tfidf_top_terms": _oracle_tfidf_top_terms(),

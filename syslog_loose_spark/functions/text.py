@@ -656,6 +656,72 @@ def bpe_merge_step(df, min_count: int = 2,
                     .alias("n_tokens_after")))
 
 
+# Joiner for merged BPE symbols (chr(31), the ASCII unit separator):
+# distinct from the wrapper chars so merged tokens can themselves be
+# merged in later steps.
+_BPE_JOIN = "\x1f"
+
+
+def bpe_train(df, n_steps: int = 3, min_count: int = 2,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Iterative BPE training at word granularity (Sennrich et al.
+    2016): ``n_steps`` rounds of find-top-adjacent-pair +
+    greedy-merge-everywhere, the loop a Spark-native tokenizer trainer
+    runs to convergence.  Merged symbols join with ``\\x1f`` so they
+    participate in later rounds like any other token.
+
+    Iterative-algorithm shape (same pattern as the IVF Lloyd refine):
+    each round is ONE pair-type hash aggregation (map-side partial —
+    the shuffle carries distinct pair types, never the token stream)
+    whose top-1 row — and only that row — is collected to the driver;
+    the merge itself is a pure JVM ``replace`` on the wrapped-token
+    string (see bpe_merge_step for why replace == the greedy
+    left-to-right scan).  The evolving corpus is persisted through the
+    bounded dedup registry each round, so round N+1's aggregation reads
+    round N's cache instead of replaying the replace chain; a
+    production trainer at 100 TB would checkpoint every K rounds to
+    also truncate lineage.
+
+    Returns (merges, tokens_df): ``merges`` a list of
+    (step, w1, w2, n_pair) in application order; ``tokens_df`` the
+    final (id, tokens array<string>, n_tokens) per document."""
+    from .dedup import _track
+
+    sep = _BPE_CLOSE + _BPE_OPEN
+    s0 = F.concat(F.lit(_BPE_OPEN),
+                  F.array_join(words(F.col(text_col)), sep),
+                  F.lit(_BPE_CLOSE))
+    cur = df.select(F.col(id_col).alias("id"), s0.alias("s"))
+    merges: list = []
+    for step in range(n_steps):
+        cur = _track(cur)
+        toks = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), sep)
+        pairs = (cur.select(F.explode(F.when(
+            F.size(toks) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("w1"),
+                            F.element_at(toks, i + 1).alias("w2")))
+        ).otherwise(F.array())).alias("p")).select("p.w1", "p.w2")
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= min_count)
+            .orderBy(F.desc("c"), "w1", "w2").limit(1).collect())
+        if not pairs:
+            break
+        w1, w2, c = pairs[0]["w1"], pairs[0]["w2"], pairs[0]["c"]
+        pat = _BPE_OPEN + w1 + _BPE_CLOSE + _BPE_OPEN + w2 + _BPE_CLOSE
+        rep = _BPE_OPEN + w1 + _BPE_JOIN + w2 + _BPE_CLOSE
+        cur = cur.withColumn(
+            "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
+        merges.append((step, w1, w2, int(c)))
+    toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep)
+    out = cur.select(F.col("id").alias(id_col),
+                     toks.alias("tokens"),
+                     F.size(toks).cast("long").alias("n_tokens"))
+    return merges, out
+
+
 def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Corpus-wide collocation extraction: top-k adjacent word pairs by

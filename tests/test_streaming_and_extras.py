@@ -1571,3 +1571,53 @@ def test_bpe_merge_step_greedy_semantics(spark):
     assert out[1]["n_merges"] == 2 and out[1]["n_tokens_after"] == 2
     assert out[2]["n_merges"] == 2 and out[2]["n_tokens_after"] == 3
     assert out[3]["n_merges"] == 0 and out[3]["n_tokens_after"] == 2
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The n-round trainer must reproduce a straight-line Python BPE
+    (greedy scan, (count DESC, w1, w2) ties) exactly: same merge table,
+    same final token sequences — including merged symbols re-merging in
+    later rounds."""
+    from collections import Counter
+    from syslog_loose_spark.functions.text import bpe_train
+
+    texts = {0: "a b a b a b c", 1: "a b c a b c", 2: "x a b y",
+             3: "c c c c", 4: "solo", 5: ""}
+
+    def ref(docs, n_steps, min_count):
+        docs = {k: v.split(" ") for k, v in docs.items()}
+        merges = []
+        for step in range(n_steps):
+            pc = Counter()
+            for d in docs.values():
+                for i in range(len(d) - 1):
+                    pc[(d[i], d[i + 1])] += 1
+            cands = sorted(((c, w1, w2) for (w1, w2), c in pc.items()
+                            if c >= min_count),
+                           key=lambda t: (-t[0], t[1], t[2]))
+            if not cands:
+                break
+            c, w1, w2 = cands[0]
+            for k, d in docs.items():
+                out, i = [], 0
+                while i < len(d):
+                    if (i + 1 < len(d) and d[i] == w1 and d[i + 1] == w2):
+                        out.append(w1 + "\x1f" + w2)
+                        i += 2
+                    else:
+                        out.append(d[i])
+                        i += 1
+                docs[k] = out
+            merges.append((step, w1, w2, c))
+        return merges, docs
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id LONG, text STRING")
+    for steps in (1, 4):
+        exp_merges, exp_docs = ref(texts, steps, 2)
+        got_merges, out = bpe_train(df, n_steps=steps, min_count=2)
+        assert got_merges == exp_merges
+        got_docs = {r["doc_id"]: list(r["tokens"]) for r in out.collect()}
+        assert got_docs == exp_docs
+        assert all(r["n_tokens"] == len(exp_docs[r["doc_id"]])
+                   for r in out.collect())
