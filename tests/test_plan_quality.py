@@ -305,3 +305,49 @@ def test_rate_anomalies_two_exchanges_window_over_aggregate(spark):
     plan = _plan(rate_anomalies(ev))
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_heavy_hitters_one_python_boundary_and_broadcast_total(spark):
+    """heavy_hitter_words: the MG candidate pass is the ONLY Python
+    boundary (one MapInPandas — the recount is pure JVM), and the 1-row
+    token total joins by broadcast, never a shuffle."""
+    from syslog_loose_spark.functions.text import heavy_hitter_words
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(50)], "doc_id LONG, text STRING")
+    plan = _plan(heavy_hitter_words(df, thr_ppm=1000))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("EvalPython") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_calibrated_quality_reuses_cached_scores(spark):
+    """calibrated_quality_cut: the scored relation feeds BOTH the
+    histogram branch and the output join through the persisted cache —
+    the expensive unigram pipeline must not appear twice in the plan."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import calibrated_quality_cut
+
+    df = spark.createDataFrame(
+        [(i, "x y z common common") for i in range(30)],
+        "doc_id LONG, text STRING")
+    try:
+        plan = _plan(calibrated_quality_cut(df))
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        unpersist_tracked()
+
+
+def test_bpe_merge_partial_topk_and_broadcast_pair(spark):
+    """bpe_merge_step: the winning pair comes from a partial top-k
+    (TakeOrdered), never a global sort, and joins every row by
+    broadcast; the merge itself is pure JVM (zero Python)."""
+    from syslog_loose_spark.functions.text import bpe_merge_step
+
+    df = spark.createDataFrame(
+        [(i, "a a b a a") for i in range(40)], "doc_id LONG, text STRING")
+    plan = _plan(bpe_merge_step(df))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
