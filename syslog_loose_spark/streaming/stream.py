@@ -159,6 +159,81 @@ def streaming_sessions(events_stream: DataFrame, gap_minutes: int = 30,
                                     "update", timeout))
 
 
+def streaming_heavy_hitters(docs_stream: DataFrame, capacity: int = 64,
+                            n_shards: int = 8, text_col: str = "text",
+                            timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming exact-candidate heavy hitters: the batch
+    ``text.heavy_hitter_words`` candidate pass reformulated as a
+    forever-running stream.  The word stream hash-partitions into
+    ``n_shards`` shards (pmod(xxhash64(word))) and each shard maintains
+    ONE Misra–Gries sketch across micro-batches via
+    applyInPandasWithState — the same mergeable batch-decrement as the
+    batch operator, but over unbounded input with state frozen at
+    O(capacity) words per shard FOREVER (the property windowed aggs and
+    plain running counts cannot give: a year of stream costs the same
+    state as an hour).
+
+    A word hashes to exactly one shard, so per-shard MG guarantees
+    every word with true shard count > shard_tokens/(capacity+1)
+    is present with estimate in (true - shard_tokens/(capacity+1),
+    true] — the caller thresholds against the emitted shard totals and,
+    when exactness matters, recounts candidates over the archived
+    batch table (the batch operator's pass 2).
+
+    Emits, each micro-batch in update mode, every shard's current
+    candidates: (shard, word, est, shard_tokens, batches)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = ("shard INT, word STRING, est BIGINT, "
+                  "shard_tokens BIGINT, batches BIGINT")
+    state_schema = ("wds ARRAY<STRING>, cts ARRAY<BIGINT>, "
+                    "total BIGINT, batches BIGINT")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            wds, cts, total, batches = state.get
+            counters = dict(zip(list(wds), [int(c) for c in cts]))
+        else:
+            counters, total, batches = {}, 0, 0
+        seen = 0
+        for pdf in pdfs:
+            vc = pdf["wd"].value_counts()
+            seen += int(vc.sum())
+            for wd, c in vc.items():
+                counters[wd] = counters.get(wd, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[capacity]
+                counters = {w: c - m for w, c in counters.items()
+                            if c > m}
+        if seen == 0 and not state.exists:
+            return  # timeout-only invocation, nothing to report
+        total, batches = total + seen, batches + 1
+        state.update((list(counters.keys()),
+                      [int(c) for c in counters.values()],
+                      int(total), int(batches)))
+        yield pd.DataFrame({
+            "shard": [key[0]] * len(counters),
+            "word": list(counters.keys()),
+            "est": [int(c) for c in counters.values()],
+            "shard_tokens": [int(total)] * len(counters),
+            "batches": [int(batches)] * len(counters),
+        })
+
+    word_stream = (docs_stream
+                   .select(F.explode(F.split(F.col(text_col), " "))
+                           .alias("wd"))
+                   .withColumn("shard",
+                               F.pmod(F.xxhash64("wd"),
+                                      F.lit(n_shards)).cast("int")))
+    return (word_stream
+            .groupBy("shard")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", timeout))
+
+
 def streaming_dedup(stream_df: DataFrame, key_cols=("doc_id",),
                     ts_col: str = "ts",
                     watermark: str = "2 hours") -> DataFrame:

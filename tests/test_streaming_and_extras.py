@@ -1621,3 +1621,50 @@ def test_bpe_train_matches_python_reference(spark):
         assert got_docs == exp_docs
         assert all(r["n_tokens"] == len(exp_docs[r["doc_id"]])
                    for r in out.collect())
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """Sharded streaming Misra-Gries: the planted heavy word survives
+    every micro-batch with an estimate inside the MG undercount bound
+    (true - shard_tokens/(capacity+1), true]; the per-shard candidate
+    set never exceeds capacity even though distinct words far exceed
+    it; totals accumulate across batches."""
+    import time as _time
+
+    from syslog_loose_spark.streaming.stream import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src)
+    # 3 micro-batches; "hot" appears 40x/batch, 200 tail words once each
+    for c in range(3):
+        rows = [(i, "hot " * 40 + " ".join(
+            "t%d_%d" % (c, 50 * i + j) for j in range(50)))
+            for i in range(4)]
+        spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+            .coalesce(1).write.parquet(f"{src}/c{c}", mode="overwrite")
+        _time.sleep(0.05)
+
+    stream = (spark.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/c*"))
+    cap = 16
+    q = (streaming_heavy_hitters(stream, capacity=cap, n_shards=4)
+         .writeStream.format("memory").queryName("hh_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from hh_out").collect()
+    assert rows
+    last = max(r["batches"] for r in rows if r["word"] == "hot")
+    assert last == 3
+    final = [r for r in rows if r["word"] == "hot" and r["batches"] == 3]
+    assert final, "heavy word missing from the final sketch"
+    r = final[0]
+    true_hot = 3 * 4 * 40   # plus the trailing-space artifact words
+    assert r["est"] <= true_hot
+    assert r["est"] > true_hot - r["shard_tokens"] / (cap + 1)
+    # bounded state: no shard ever reports more than capacity candidates
+    from collections import Counter
+    per = Counter((r["shard"], r["batches"]) for r in rows)
+    assert max(per.values()) <= cap
