@@ -692,6 +692,14 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
                   F.array_join(words(F.col(text_col)), sep),
                   F.lit(_BPE_CLOSE))
     cur = df.select(F.col(id_col).alias("id"), s0.alias("s"))
+    # Every round re-scans this relation, so it must be as wide as the
+    # session: a small fixture arriving as one parquet split would run
+    # every pair aggregation single-task.  The widen happens ONCE,
+    # feeds the first persist, and is a no-op at real scale where scan
+    # splits already exceed session parallelism.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if cur.rdd.getNumPartitions() < par:
+        cur = cur.repartition(par)
     merges: list = []
     for step in range(n_steps):
         cur = _track(cur)
