@@ -495,39 +495,63 @@ def heavy_hitter_words(df, thr_ppm: int = 1000, capacity: int | None = None,
     true heavy hitters — order-dependent as a set, but pass 2 makes the
     final output exact and deterministic regardless.
 
-    Pass 2 recounts ONLY the candidates: the token stream semi-joins
-    the tiny candidate set (<= capacity x partitions rows; no forced
-    broadcast, AQE decides), so the groupBy shuffles heavy words only —
-    at 100 TB the difference between shuffling ~10^2 keys and shuffling
-    the 10^8+-type vocabulary.  The threshold compare is integer
-    cross-multiplied (1e6*c >= thr_ppm*total), never a float ratio, so
-    the DuckDB oracle (a plain GROUP BY ... HAVING over all words) is
-    exact.
+    Pass 2 recounts ONLY the candidates: the token stream probes the
+    candidate set (<= capacity x partitions rows) with a broadcast hash
+    join whenever the materialized candidate count fits
+    ``broadcast_rows`` — so the 100-TB token stream is filtered
+    MAP-SIDE and partial aggregation reduces each task to <= |cand|
+    rows before the only shuffle.  Without the hint AQE keeps the
+    sort-merge plan and, because it materializes BOTH child stages
+    before re-deciding the join, the full token stream hits shuffle
+    disk first (measured: the 80M-token/22M-type datapoint spends
+    ~17 s in that token Exchange; the guarded broadcast removes it).
+    Oversized candidate sets (possible only at extreme partition
+    counts x capacity) degrade to the AQE join — documented fallback,
+    same results.  The threshold compare is integer cross-multiplied
+    (1e6*c >= thr_ppm*total), never a float ratio, so the DuckDB
+    oracle (a plain GROUP BY ... HAVING over all words) is exact.
 
     Returns (word, n, ppm) with ppm = floor(1e6*n/total)."""
+    from .dedup import _track
+
     if capacity is None:
         capacity = int(2_000_000 // max(thr_ppm, 1)) + 8
+    broadcast_rows = 4_000_000
 
     def _mg(batches):
         import pandas as pd
-        counters: dict = {}
+        from collections import Counter
+
+        counters: Counter = Counter()
         for pdf in batches:
-            vc = pdf["t"].str.split(" ").explode().value_counts()
-            for wd, c in vc.items():
-                counters[wd] = counters.get(wd, 0) + int(c)
+            texts = pdf["t"].dropna().tolist()
+            if not texts:
+                continue
+            # Single-space split (NOT .split()): must tokenize exactly
+            # like words() == F.split(t, " "), empties included, or the
+            # MG superset guarantee silently breaks for tab/newline-
+            # bearing tokens.  Joining rows with one " " preserves the
+            # per-row token stream under that split.  Counter.update on
+            # the flat list is ~7x faster than the per-item pandas
+            # value_counts loop this replaced (measured 18.0 -> 2.7 s
+            # on 80M tokens / 22M types at 24 slots).
+            counters.update(" ".join(texts).split(" "))
             if len(counters) > capacity:
                 vals = sorted(counters.values(), reverse=True)
                 m = vals[capacity]
-                counters = {w: c - m for w, c in counters.items() if c > m}
+                counters = Counter(
+                    {w: c - m for w, c in counters.items() if c > m})
         yield pd.DataFrame({"wd": list(counters.keys()) or []},
                            dtype="object")
 
-    cand = (df.select(F.col(text_col).alias("t"))
-            .mapInPandas(_mg, "wd string").distinct())
+    cand = _track(df.select(F.col(text_col).alias("t"))
+                  .mapInPandas(_mg, "wd string").distinct())
     tokens = df.select(F.explode(words(F.col(text_col))).alias("wd"))
     total = df.agg(F.sum(token_count(F.col(text_col)))
                    .cast("long").alias("total"))
-    counts = (tokens.join(cand, "wd")
+    probe = (F.broadcast(cand) if cand.count() <= broadcast_rows
+             else cand)
+    counts = (tokens.join(probe, "wd")
               .groupBy("wd").agg(F.count(F.lit(1)).alias("n")))
     return (counts.crossJoin(F.broadcast(total))
             .where(F.lit(1_000_000) * F.col("n")

@@ -309,16 +309,29 @@ def test_rate_anomalies_two_exchanges_window_over_aggregate(spark):
 
 def test_heavy_hitters_one_python_boundary_and_broadcast_total(spark):
     """heavy_hitter_words: the MG candidate pass is the ONLY Python
-    boundary (one MapInPandas — the recount is pure JVM), and the 1-row
-    token total joins by broadcast, never a shuffle."""
+    boundary (one cached MapInPandas — the recount is pure JVM), the
+    candidate probe is a BROADCAST hash join (a sort-merge probe would
+    shuffle the entire token stream: AQE materializes both sides before
+    re-deciding, measured ~17 s of token Exchange at 80M tokens), and
+    the 1-row token total joins by broadcast, never a shuffle."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
     from syslog_loose_spark.functions.text import heavy_hitter_words
 
     df = spark.createDataFrame(
         [(i, "a b c d") for i in range(50)], "doc_id LONG, text STRING")
-    plan = _plan(heavy_hitter_words(df, thr_ppm=1000))
-    assert plan.count("MapInPandas") == 1, plan
-    assert plan.count("EvalPython") == 0, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    try:
+        plan = _plan(heavy_hitter_words(df, thr_ppm=1000))
+        # the MG pass lives inside the persisted candidate relation
+        # (InMemoryRelation prints its plan wherever it is scanned —
+        # one runtime execution regardless of print count)
+        assert plan.count("MapInPandas") >= 1, plan
+        assert "InMemoryTableScan" in plan, plan
+        assert plan.count("EvalPython") == 0, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+    finally:
+        unpersist_tracked()
 
 
 def test_calibrated_quality_reuses_cached_scores(spark):
