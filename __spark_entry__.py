@@ -3192,6 +3192,166 @@ FROM s3 ORDER BY doc_id
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    spherical-k-means cells + within-cell lower-id cosine domination.
+    Plants 40 EXACT copies (vec_id + 1000000) so the planted rows must
+    come back kept=0 (cosine 1.0 to their lower-id original, same
+    cell) while the base corpus keeps its natural near-dup structure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") < 40)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   "embedding"))
+    return S.semantic_dedup(aug, threshold=0.9, n_cells=16) \
+        .orderBy("vec_id")
+
+
+def _oracle_semantic_dedup() -> str:
+    # Cluster build copied CTE-for-CTE from _oracle_ann_ivf (md5 seeds,
+    # one integer-exact Lloyd round, ROUND-6 assignment sims with
+    # (csim DESC, cell DESC) ties mirroring array_max over
+    # struct(sim, cell)); the pair score replays Spark's sequential
+    # left-fold dot and the precomputed norms, ROUND 4 like
+    # embedding_near_dups.
+    fold = ("list_reduce(list_prepend(0.0, [{x} for i in range(1, 65)]),"
+            " (a, b) -> a + b)")
+    dotp = fold.format(x="{u}[i] * {w}[i]")
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+e AS (SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id < 40),
+ivtr AS (SELECT vec_id, v FROM e
+         ORDER BY md5('ivf-train-' || CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT 65536),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e
+        ORDER BY md5('ivf-seed-' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16)),
+sims0 AS (
+  SELECT e.vec_id, e.v, s.cell,
+         ROUND({dotp.format(u='e.v', w='s.cv')}
+               / (sqrt({dotp.format(u='e.v', w='e.v')})
+                  * sqrt({dotp.format(u='s.cv', w='s.cv')})), 6) AS csim
+  FROM ivtr e CROSS JOIN seeds s),
+assigned0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell DESC) AS r
+    FROM sims0) WHERE r = 1),
+per_dim AS (
+  SELECT cell, j,
+         CAST(SUM(CAST(FLOOR(v[j] * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS cval
+  FROM assigned0 CROSS JOIN range(1, 65) t(j)
+  GROUP BY cell, j),
+cents0 AS (SELECT cell AS cell0, list(cval ORDER BY j) AS cv
+           FROM per_dim GROUP BY cell),
+cents AS (SELECT row_number() OVER (ORDER BY cell0) - 1 AS cell, cv
+          FROM cents0),
+sims AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROUND({dotp.format(u='e.v', w='c.cv')}
+               / (sqrt({dotp.format(u='e.v', w='e.v')})
+                  * sqrt({dotp.format(u='c.cv', w='c.cv')})), 6) AS csim
+  FROM e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell DESC) AS r
+    FROM sims) WHERE r = 1),
+an AS (SELECT vec_id, cell, v,
+              sqrt({dotp.format(u='v', w='v')}) AS vn
+       FROM assigned),
+drp AS (SELECT DISTINCT b.vec_id AS id
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND({dotp.format(u='a.v', w='b.v')}
+                    / (a.vn * b.vn), 4) >= 0.9)
+SELECT an.vec_id, CAST(an.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM an LEFT JOIN drp d ON an.vec_id = d.id
+ORDER BY an.vec_id
+"""
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled NB language classifier (text.nb_lang_classifier):
+    add-one multinomial NB trained on the corpus's own lang_id labels,
+    re-scoring every doc — millinat-quantized, integer-summed."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.nb_lang_classifier(docs).orderBy("doc_id")
+
+
+def _oracle_nb_classifier() -> str:
+    # Same ln expressions in the same term order as the engine
+    # (millinat lockstep rule): per-(label, word) ln((c+1)/(tot+V)),
+    # per-class unseen default ln(1/(tot+V)) and prior ln(n_c/n), each
+    # ONE ln rounded to BIGINT millinats before any aggregation;
+    # prediction ties break (score DESC, lang DESC) to mirror the
+    # engine's struct max.
+    en = ",".join(_sql_quote(s) for s in T.EN_STOPWORDS)
+    de = ",".join(_sql_quote(s) for s in T.DE_STOPWORDS)
+    return f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN en > de AND en > 0 THEN 'en'
+              WHEN de > en AND de > 0 THEN 'de'
+              ELSE 'unknown' END AS label
+  FROM (SELECT doc_id, text,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x IN ({en}))) AS en,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x IN ({de}))) AS de
+        FROM documents)),
+w AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS wd
+      FROM lab),
+tf AS (SELECT doc_id, label, wd, COUNT(*) AS tf
+       FROM w GROUP BY doc_id, label, wd),
+cwc AS (SELECT label, wd, SUM(tf) AS c FROM tf GROUP BY label, wd),
+tot AS (SELECT label, SUM(c) AS tot FROM cwc GROUP BY label),
+vocab AS (SELECT COUNT(DISTINCT wd) AS v FROM cwc),
+nd AS (SELECT label, COUNT(*) AS nd FROM lab GROUP BY label),
+nall AS (SELECT COUNT(*) AS nall FROM lab),
+classes AS (
+  SELECT nd.label AS lang,
+         CAST(ROUND(LN(CAST(nd.nd AS DOUBLE) / nall.nall) * 1000)
+              AS BIGINT) AS prior_mn,
+         CAST(ROUND(LN(1.0 / (tot.tot + vocab.v)) * 1000)
+              AS BIGINT) AS dmn,
+         tot.tot + vocab.v AS den
+  FROM nd JOIN tot ON nd.label = tot.label
+  CROSS JOIN vocab CROSS JOIN nall),
+model AS (
+  SELECT cwc.label AS lang, cwc.wd,
+         CAST(ROUND(LN(CAST(cwc.c + 1 AS DOUBLE) / c2.den) * 1000)
+              AS BIGINT) AS mn
+  FROM cwc JOIN classes c2 ON cwc.label = c2.lang),
+dw AS (SELECT doc_id, wd, tf FROM tf),
+scored AS (
+  SELECT dw.doc_id, c.lang, c.prior_mn,
+         SUM(dw.tf * COALESCE(m.mn, c.dmn)) AS s
+  FROM dw CROSS JOIN classes c
+  LEFT JOIN model m ON m.lang = c.lang AND m.wd = dw.wd
+  GROUP BY dw.doc_id, c.lang, c.prior_mn),
+pred AS (
+  SELECT doc_id, lang, prior_mn + s AS score_mn,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY prior_mn + s DESC, lang DESC) AS r
+  FROM scored)
+SELECT l.doc_id, l.label AS label_lang, p.lang AS pred_lang,
+       CAST(p.score_mn AS BIGINT) AS score_mn,
+       CAST(CASE WHEN l.label = p.lang THEN 1 ELSE 0 END AS BIGINT)
+           AS agree
+FROM lab l JOIN pred p ON l.doc_id = p.doc_id AND p.r = 1
+ORDER BY l.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full parse → enrich → route → aggregate chain over the
     tokenized syslog table (sized off sf0.001's documents count)."""
@@ -3218,6 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "semantic_dedup": q_semantic_dedup,
+        "nb_classifier": q_nb_classifier,
         "heavy_hitters": q_heavy_hitters,
         "bpe_train": q_bpe_train,
         "quality_calibrate": q_quality_calibrate,
@@ -3296,6 +3458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "semantic_dedup": _oracle_semantic_dedup(),
+        "nb_classifier": _oracle_nb_classifier(),
         "heavy_hitters": _oracle_heavy_hitters(),
         "bpe_train": _oracle_bpe_train(),
         "quality_calibrate": _oracle_quality_calibrate(),

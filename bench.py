@@ -406,7 +406,9 @@ def main() -> None:
              "events_rate_anomaly", "tfidf_top_terms", "bigram_pmi",
              # exact MG heavy hitters, histogram-calibrated quality cut,
              # one BPE merge step
-             "heavy_hitters", "quality_calibrate", "bpe_merge", "bpe_train")
+             "heavy_hitters", "quality_calibrate", "bpe_merge", "bpe_train",
+             # SemDeDup cells + distilled NB re-scoring
+             "semantic_dedup", "nb_classifier")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

@@ -697,3 +697,67 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
                  .where(F.col("r0") <= rerank)
                  .select("query_id", "neighbor_id"))
     return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
+                   n_cells: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", lloyd_rounds: int = 1,
+                   train_n: int = 1 << 16) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster mark every vector that has a LOWER-ID near-duplicate
+    (cosine >= threshold) as dropped — keep = the minimum-id member of
+    every pairwise-domination chain.  Unlike near_dup_keep_canonical
+    (connected components over the full near-dup graph) this is the
+    paper's cheap one-shot rule: a doc is redundant if ANY smaller-id
+    semantic twin exists in its cell, no transitive closure.
+
+    The cluster build is byte-identical to ivf_topk's: md5('ivf-seed-')
+    sampled seeds, ``lloyd_rounds`` bit-deterministic spherical-k-means
+    rounds trained on the md5('ivf-train-') TakeOrdered sample, ONE
+    broadcast centroid row.  Cell ASSIGNMENT sees every row and is a
+    shuffle-free per-row fold (same as ivf_topk — no corpus shuffle).
+
+    Scale shape: the only corpus-sized shuffles are the two sides of
+    the within-cell equality self-join on cell id.  Cells are the
+    quadratic-blowup guard: pair work is O(sum cell_size²), and at web
+    scale ``n_cells`` grows with the corpus so cell size stays
+    ~constant — exactly the SemDeDup recipe (they run 50k clusters
+    over LAION embeddings).  Norms are computed once per row before
+    the join, never per pair (the embedding_near_dups lesson).
+
+    Returns (id_col, cell, kept) for ALL rows — kept is 0/1 so
+    downstream can anti-join or re-threshold without a rescan."""
+    from .dedup import _track
+
+    train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
+    cents_one = _ivf_cents_one(
+        _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
+    for _ in range(lloyd_rounds):
+        cents_one = _ivf_cents_one(
+            _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
+    if lloyd_rounds:
+        cents_one = _track(cents_one)
+    assigned = _track(
+        corpus.crossJoin(F.broadcast(cents_one))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("vn"), "cents")
+        .select("id", "v", "vn",
+                F.array_max(_ivf_scored_cells(F.col("v"), F.col("vn")))
+                 ["cell"].alias("cell")))
+    a = assigned.select(F.col("id").alias("aid"), F.col("v").alias("av"),
+                        F.col("vn").alias("an"), "cell")
+    b = assigned.select(F.col("id").alias("bid"), F.col("v").alias("bv"),
+                        F.col("vn").alias("bn"), "cell")
+    dropped = (a.join(b, "cell")
+               .where(F.col("aid") < F.col("bid"))
+               .where(F.round(dot(F.col("av"), F.col("bv"))
+                              / (F.col("an") * F.col("bn")), 4)
+                      >= F.lit(threshold))
+               .select(F.col("bid").alias("id")).distinct()
+               .withColumn("dropped", F.lit(1)))
+    return (assigned.join(dropped, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("cell").cast("long").alias("cell"),
+                    F.when(F.col("dropped").isNull(), F.lit(1))
+                     .otherwise(F.lit(0)).cast("long").alias("kept")))

@@ -805,3 +805,82 @@ def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
     return (scored
             .orderBy(F.desc("pmi_mn"), "w1", "w2")
             .limit(k))
+
+
+def nb_lang_classifier(df, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Distilled naive-Bayes word classifier: train an add-one-smoothed
+    multinomial NB language model ON THE CORPUS'S OWN heuristic labels
+    (lang_id's stopword vote) and re-score every document with it — the
+    fastText-style distillation step real pipelines use to replace an
+    expensive labeling pass with a cheap linear model (Joulin et al.
+    2016; CCNet trains its lang/quality filters the same way).  The
+    disagreement set (agree = 0) is the interesting output: documents
+    whose full word distribution contradicts the stopword vote.
+
+    Determinism contract (same as unigram_logprob_stats): every
+    class-conditional log-likelihood ln((c+1)/(tot_c+V)), each class's
+    unseen-word default ln(1/(tot_c+V)) and prior ln(n_c/n) is ONE ln,
+    quantized to integer millinats (round(ln x * 1000) -> BIGINT)
+    before any aggregation; scores are pure integer sums thereafter,
+    and prediction ties break (score, lang)-lexicographic via a struct
+    max (oracle: ORDER BY score DESC, lang DESC).
+
+    Scale shape: the token stream collapses FIRST through the two-level
+    (doc, word) hash aggregation; the model is one more agg over that
+    relation keyed (label, word).  Scoring joins the per-doc TYPE
+    stream x |classes| (3) against the model with NO broadcast hint
+    (the model is vocabulary-sized and grows with the corpus — AQE
+    decides, the word_rarity lesson); the classes dim (3 rows: prior,
+    unseen-default, denominator) IS broadcast — genuinely bounded.
+    Returns (id, label_lang, pred_lang, score_mn, agree)."""
+    labeled = df.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("t"),
+                        lang_id(F.col(text_col)).alias("label"))
+    w = labeled.select("id", "label",
+                       F.explode(words(F.col("t"))).alias("wd"))
+    tf = w.groupBy("id", "label", "wd").agg(F.count(F.lit(1)).alias("tf"))
+    cwc = tf.groupBy("label", "wd").agg(F.sum("tf").alias("c"))
+    tot = cwc.groupBy("label").agg(F.sum("c").alias("tot"))
+    vocab = cwc.agg(F.count_distinct(F.col("wd")).alias("v"))
+    nd = labeled.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
+    nall = labeled.agg(F.count(F.lit(1)).alias("nall"))
+    classes = (nd.join(tot, "label")
+               .crossJoin(F.broadcast(vocab))
+               .crossJoin(F.broadcast(nall))
+               .select(F.col("label").alias("lang"),
+                       F.round(F.log(F.col("nd").cast("double")
+                                     / F.col("nall")) * 1000)
+                        .cast("long").alias("prior_mn"),
+                       F.round(F.log(F.lit(1.0)
+                                     / (F.col("tot") + F.col("v"))) * 1000)
+                        .cast("long").alias("dmn"),
+                       (F.col("tot") + F.col("v")).alias("den")))
+    model = (cwc.join(classes.select(F.col("lang").alias("label"), "den"),
+                      "label")
+             .select(F.col("label").alias("lang"), "wd",
+                     F.round(F.log((F.col("c") + 1).cast("double")
+                                   / F.col("den")) * 1000)
+                      .cast("long").alias("mn")))
+    dw = tf.select("id", "wd", "tf")
+    scored = (dw.crossJoin(F.broadcast(
+                  classes.select("lang", "prior_mn", "dmn")))
+              .join(model, ["lang", "wd"], "left")
+              .groupBy("id", "lang", "prior_mn")
+              .agg(F.sum(F.col("tf")
+                         * F.coalesce(F.col("mn"), F.col("dmn")))
+                   .alias("s"))
+              .select("id", "lang",
+                      (F.col("prior_mn") + F.col("s")).alias("score_mn")))
+    pred = (scored.groupBy("id")
+            .agg(F.max(F.struct(F.col("score_mn"), F.col("lang")))
+                 .alias("m"))
+            .select("id", F.col("m.lang").alias("pred"),
+                    F.col("m.score_mn").alias("score_mn")))
+    return (labeled.select("id", "label").join(pred, "id")
+            .select(F.col("id").alias(id_col),
+                    F.col("label").alias("label_lang"),
+                    F.col("pred").alias("pred_lang"),
+                    F.col("score_mn").cast("long").alias("score_mn"),
+                    (F.col("label") == F.col("pred"))
+                     .cast("long").alias("agree")))

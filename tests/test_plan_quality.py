@@ -364,3 +364,49 @@ def test_bpe_merge_partial_topk_and_broadcast_pair(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_broadcast_cents_cached_assignment(spark):
+    """semantic_dedup: ONE broadcast centroid row drives a shuffle-free
+    cell assignment (BroadcastNestedLoopJoin, zero Python), and the
+    assigned relation is computed once and cached — both sides of the
+    within-cell pair join must read the InMemoryRelation, never replay
+    the assignment (or the centroid build) twice."""
+    from syslog_loose_spark.functions import similarity as S
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    try:
+        plan = _plan(S.semantic_dedup(emb, n_cells=4))
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, \
+            plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        unpersist_tracked()
+
+
+def test_nb_classifier_model_join_no_forced_broadcast(spark):
+    """nb_lang_classifier: the vocabulary-sized model join must carry NO
+    broadcast hint (the word_rarity r5 lesson — the model grows with the
+    corpus).  With broadcasting disabled the scoring join must fall back
+    to a shuffle join AND produce identical results; the bounded classes
+    dim keeps its explicit broadcast either way."""
+    from syslog_loose_spark.functions.text import nb_lang_classifier
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    default = sorted(nb_lang_classifier(docs).collect())
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = nb_lang_classifier(docs)
+        plan = _plan(df)
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan
+        assert "BroadcastHashJoin" in plan or \
+            "BroadcastNestedLoopJoin" in plan, plan
+        fallback = sorted(df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert default == fallback

@@ -1668,3 +1668,98 @@ def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     from collections import Counter
     per = Counter((r["shard"], r["batches"]) for r in rows)
     assert max(per.values()) <= cap
+
+
+def test_semantic_dedup_planted_copies(spark):
+    """SemDeDup one-shot rule: a scaled copy (cosine 1.0) with a HIGHER
+    id must come back kept=0 — the scale-invariant cosine profile lands
+    it in the same cell as its original (power-of-two scaling is exact
+    in IEEE arithmetic, so the assignment sims are bit-identical) where
+    the lower-id twin dominates it.  Every input row gets exactly one
+    output row, and each cell's minimum id always survives (nothing can
+    dominate it)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where(F.col("vec_id") < 60)
+    base = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("embedding"))
+    dup = base.select((F.col("vec_id") + 1000).alias("vec_id"), F.expr(
+        "transform(embedding, x -> x * 2.0d)").alias("embedding"))
+    out = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in S.semantic_dedup(base.union(dup), threshold=0.99,
+                                     n_cells=4).collect()}
+    assert len(out) == 120
+    for i in range(60):
+        assert out[i + 1000][1] == 0, i           # planted copy dropped
+        assert out[i + 1000][0] == out[i][0], i   # same cell as original
+    mins = {}
+    for vid, (cell, _) in out.items():
+        mins[cell] = min(mins.get(cell, vid), vid)
+    for cell, vid in mins.items():
+        assert out[vid][1] == 1, (cell, vid)
+
+
+def test_nb_classifier_matches_python_reference(spark):
+    """Differential vs a direct Python replay of the millinat contract:
+    add-one multinomial NB on the corpus's own stopword-vote labels, ONE
+    ln per model parameter quantized to integer millinats, integer score
+    sums, (score, lang)-lexicographic struct-max tie-break.  The unseen
+    default ln(1/(tot+V)) IS the add-one formula at c=0, so the replay
+    uses one uniform expression."""
+    import math
+    from collections import Counter, defaultdict
+
+    from syslog_loose_spark.functions.text import (
+        DE_STOPWORDS, EN_STOPWORDS, nb_lang_classifier)
+
+    texts = [
+        "the cat sat on the mat",
+        "a dog and a cat",
+        "der hund und die katze hund katze hund katze",
+        "das ist ein hund katze hund katze",
+        "cat dog mat",              # no stopwords -> unknown label
+        "hund katze maus",          # unknown label, NB re-scores as de
+        "the der cat hund",         # en/de stopword tie -> unknown
+        "the hund katze hund katze",  # labeled en, heavy de body -> de
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def label(t):
+        w = t.lower().split(" ")
+        en = sum(x in EN_STOPWORDS for x in w)
+        de = sum(x in DE_STOPWORDS for x in w)
+        if en > de and en > 0:
+            return "en"
+        if de > en and de > 0:
+            return "de"
+        return "unknown"
+
+    labels = {i: label(t) for i, t in enumerate(texts)}
+    cwc = defaultdict(Counter)
+    for i, t in enumerate(texts):
+        cwc[labels[i]].update(t.split(" "))
+    vocab = len({w for c in cwc.values() for w in c})
+    n = len(texts)
+
+    def mn(x):
+        return int(round(math.log(x) * 1000))
+
+    expected = {}
+    for i, t in enumerate(texts):
+        scores = []
+        for lang, counts in cwc.items():
+            tot = sum(counts.values())
+            s = mn(sum(1 for v in labels.values() if v == lang) / n)
+            for w, tf in Counter(t.split(" ")).items():
+                s += tf * mn((counts.get(w, 0) + 1) / (tot + vocab))
+            scores.append((s, lang))
+        score, pred = max(scores)
+        expected[i] = (labels[i], pred, score, int(labels[i] == pred))
+
+    got = {r["doc_id"]: (r["label_lang"], r["pred_lang"], r["score_mn"],
+                         r["agree"])
+           for r in nb_lang_classifier(df).collect()}
+    assert got == expected
+    assert {v[0] for v in expected.values()} == {"en", "de", "unknown"}
+    assert any(v[3] == 0 for v in expected.values()), \
+        "fixture should exercise the disagreement surface"
