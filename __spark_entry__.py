@@ -3188,6 +3188,260 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference (text.bpe_encode): apply a FROZEN 3-entry merge
+    table — the third entry a second-order merge consuming the \\x1f
+    symbol the second produced — as one chained pure-JVM replace (no
+    shuffle, no Python).  The md5 of each doc's final canonical token
+    string pins greedy application of every merge in list order."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = T.bpe_encode(docs, [("column", "line"), ("data", "value"),
+                              ("data\x1fvalue", "table")])
+    return (enc.select(
+        "doc_id", "n_tokens",
+        F.md5(F.encode(F.array_join("tokens", "\x02\x01"), "UTF-8"))
+         .alias("toks_md5"))
+        .orderBy("doc_id"))
+
+
+def _oracle_bpe_encode() -> str:
+    # Same wrapped-token replace chain, merge by merge, in list order;
+    # chr(1)/chr(2)/chr(31) per the BPE wrapper-char contract.
+    return """
+WITH s0 AS (SELECT doc_id,
+                   chr(1) || array_to_string(string_split(text, ' '),
+                                             chr(2) || chr(1)) || chr(2)
+                     AS s
+            FROM documents),
+s1 AS (SELECT doc_id, replace(s,
+         chr(1) || 'column' || chr(2) || chr(1) || 'line' || chr(2),
+         chr(1) || 'column' || chr(31) || 'line' || chr(2)) AS s FROM s0),
+s2 AS (SELECT doc_id, replace(s,
+         chr(1) || 'data' || chr(2) || chr(1) || 'value' || chr(2),
+         chr(1) || 'data' || chr(31) || 'value' || chr(2)) AS s FROM s1),
+s3 AS (SELECT doc_id, replace(s,
+         chr(1) || 'data' || chr(31) || 'value' || chr(2)
+                 || chr(1) || 'table' || chr(2),
+         chr(1) || 'data' || chr(31) || 'value' || chr(31) || 'table'
+                 || chr(2)) AS s FROM s2)
+SELECT doc_id,
+       CAST(len(string_split(substr(s, 2, length(s) - 2),
+                             chr(2) || chr(1))) AS BIGINT) AS n_tokens,
+       md5(substr(s, 2, length(s) - 2)) AS toks_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample): key = min of w md5 draws — the
+    Efraimidis-Spirakis exponential-key ranking with NO float anywhere
+    (keys compare as hex strings).  Weight = n_chars mod 37 so the
+    fixture exercises weight variety, the weight-0 exclusion, and the
+    cap-32 clamp."""
+    docs = _t(spark, sf_dir, "documents")
+    from syslog_loose_spark.functions.sampling import weighted_sample
+    d = docs.withColumn("wt", F.pmod(F.col("n_chars"), F.lit(37)))
+    return (weighted_sample(d, 100, "wt")
+            .select("doc_id", F.col("wt").cast("long").alias("wt"),
+                    "sample_key")
+            .orderBy("doc_id"))
+
+
+def _oracle_weighted_sample() -> str:
+    # Same 'wsamp-' md5 tag (lockstep rule), same clamp, same
+    # (key, id) order with LIMIT — range(1, m+1) is DuckDB's 1..m.
+    return """
+WITH d AS (SELECT doc_id, ((n_chars % 37) + 37) % 37 AS wt
+           FROM documents),
+c AS (SELECT doc_id, wt,
+             CAST(LEAST(GREATEST(COALESCE(wt, 0), 0), 32) AS BIGINT)
+               AS wcl
+      FROM d),
+k AS (SELECT doc_id, wt,
+             list_min(list_transform(range(1, wcl + 1),
+               i -> md5('wsamp-' || CAST(doc_id AS VARCHAR) || '-'
+                        || CAST(i AS VARCHAR)))) AS sample_key
+      FROM c WHERE wcl >= 1)
+SELECT doc_id, CAST(wt AS BIGINT) AS wt, sample_key
+FROM k ORDER BY sample_key, doc_id LIMIT 100
+"""
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift (text.source_kl_divergence):
+    KL(P_source || P_corpus) over unigram word distributions, millinat
+    lockstep (one ln per (source,word) type + one per word type,
+    integer sum, engine-portable floor division by the source token
+    count)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.source_kl_divergence(docs).orderBy("source")
+
+
+def _oracle_source_kl() -> str:
+    # Same ln expressions in the same term order; _floor_div spelled as
+    # the pymod trick per the sanctioned-floor-division invariant.
+    return """
+WITH w AS (SELECT source AS src, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+sw AS (SELECT src, wd, COUNT(*) AS c FROM w GROUP BY src, wd),
+ts AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tsrc FROM sw GROUP BY src),
+cw AS (SELECT wd, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY wd),
+tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM cw),
+corp AS (SELECT wd,
+                CAST(ROUND(LN(CAST(cw AS DOUBLE) / t) * 1000) AS BIGINT)
+                  AS mn_c
+         FROM cw CROSS JOIN tot),
+pers AS (SELECT sw.src, sw.wd, sw.c,
+                CAST(ROUND(LN(CAST(sw.c AS DOUBLE) / ts.tsrc) * 1000)
+                     AS BIGINT) AS mn_s
+         FROM sw JOIN ts ON sw.src = ts.src),
+agg AS (SELECT p.src, CAST(SUM(p.c) AS BIGINT) AS n_tokens,
+               CAST(SUM(p.c * (p.mn_s - c2.mn_c)) AS BIGINT) AS num
+        FROM pers p JOIN corp c2 ON p.wd = c2.wd GROUP BY p.src)
+SELECT src AS source, n_tokens,
+       CAST((num - ((num % n_tokens) + n_tokens) % n_tokens)
+            / n_tokens AS BIGINT) AS kl_mn
+FROM agg ORDER BY source
+"""
+
+
+def q_quality_calibrate_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified percentile calibration (text.calibrated_quality_cut_by):
+    the bounded-histogram threshold walk run PER SOURCE, so every
+    stratum keeps ~60% of its own docs no matter how its style shifts
+    the global score distribution.  Pins the per-group histogram, the
+    partitioned cumulative walk, and every per-group integer ceil."""
+    docs = _t(spark, sf_dir, "documents")
+    return (T.calibrated_quality_cut_by(docs, group_col="source",
+                                        keep_ppm=600_000)
+            .orderBy("doc_id"))
+
+
+def _oracle_quality_calibrate_by() -> str:
+    # Global scores (same ln/term order as quality_calibrate), histogram
+    # + cumulative walk PARTITIONED BY source, per-source MAX threshold.
+    return """
+WITH w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+freq AS (SELECT wd, COUNT(*) AS c FROM w GROUP BY wd),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freq),
+lp AS (SELECT wd,
+              CAST(ROUND(LN(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT)
+                AS mn
+       FROM freq, tot),
+per AS (SELECT doc_id, source, COUNT(*) AS n_words, SUM(mn) AS sum_mn
+        FROM w JOIN lp USING (wd) GROUP BY doc_id, source),
+scored AS (SELECT doc_id, source,
+                  CAST((sum_mn - ((sum_mn % n_words) + n_words) % n_words)
+                       / n_words AS BIGINT) AS score
+           FROM per),
+hist AS (SELECT source, score, COUNT(*) AS c FROM scored
+         GROUP BY source, score),
+nd AS (SELECT source, COUNT(*) AS n FROM scored GROUP BY source),
+cum AS (SELECT h.source, h.score, n.n,
+               SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM hist h JOIN nd n ON h.source = n.source),
+thr AS (SELECT source, MAX(score) AS thr FROM cum
+        WHERE 1000000 * cum >= 600000 * n GROUP BY source)
+SELECT s.doc_id, s.source, s.score,
+       CAST(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM scored s JOIN thr t ON s.source = t.source
+ORDER BY s.doc_id
+"""
+
+
+def q_dedup_inner_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-line excision (text.dedup_inner_lines): the
+    synthetic corpus is single-line, so repeats are PLANTED — every 3rd
+    doc re-appends its own first line (must drop), every 5th doc gains
+    'repeat me' twice (second copy drops, first survives — even though
+    the line repeats ACROSS many docs, within-doc dedup keeps one per
+    doc, the contrast with remove_boilerplate_lines).  md5 of the
+    rebuilt text pins first-occurrence order preservation."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("\n"), F.col("text")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\nrepeat me\nrepeat me"))
+         .otherwise(F.lit(""))).alias("text"))
+    res = T.dedup_inner_lines(aug)
+    return (res.select(
+        "doc_id", "n_dropped",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+def _oracle_dedup_inner_lines() -> str:
+    return """
+WITH aug AS (SELECT doc_id,
+                    text
+                    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || text
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN chr(10) || 'repeat me'
+                                 || chr(10) || 'repeat me'
+                            ELSE '' END AS text
+             FROM documents),
+ls AS (SELECT doc_id, ws, i, ws[i] AS line
+       FROM (SELECT doc_id, string_split(text, chr(10)) AS ws FROM aug),
+            LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u),
+first AS (SELECT doc_id, line, MIN(i) AS fi FROM ls
+          GROUP BY doc_id, line),
+kept AS (SELECT l.doc_id, l.line, l.i
+         FROM ls l JOIN first f
+           ON l.doc_id = f.doc_id AND l.line = f.line AND l.i = f.fi),
+outp AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+                COUNT(*) AS n_kept
+         FROM kept GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(len(string_split(a.text, chr(10))) - o.n_kept AS BIGINT)
+         AS n_dropped,
+       md5(o.text) AS clean_md5
+FROM aug a JOIN outp o USING (doc_id) ORDER BY a.doc_id
+"""
+
+
+def q_mix_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture solver (text.mix_ratios_for_targets): token-share
+    targets -> per-source keep ratios in ppm.  src0's 2% target forces
+    a genuine down-sample ratio; src1's 50% target saturates at 1e6
+    (under target — up-sampling is not a row filter); untargeted
+    sources keep everything."""
+    docs = _t(spark, sf_dir, "documents")
+    return (T.mix_ratios_for_targets(
+        docs, [("src0", 20_000), ("src1", 500_000)])
+        .orderBy("source"))
+
+
+def _oracle_mix_ratios() -> str:
+    return """
+WITH toks AS (SELECT source AS src,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM toks),
+tgt AS (SELECT src, n_tokens,
+               CASE WHEN src = 'src0' THEN CAST(20000 AS BIGINT)
+                    WHEN src = 'src1' THEN CAST(500000 AS BIGINT)
+                    ELSE NULL END AS target
+        FROM toks)
+SELECT src AS source, n_tokens,
+       CAST(CASE WHEN target IS NULL THEN 1000000
+            ELSE LEAST(1000000,
+                 (target * t
+                  - ((((target * t) % n_tokens) + n_tokens) % n_tokens))
+                 / n_tokens)
+            END AS BIGINT) AS ratio_ppm
+FROM tgt CROSS JOIN tot ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3378,6 +3632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "quality_calibrate_by": q_quality_calibrate_by,
+        "dedup_inner_lines": q_dedup_inner_lines,
+        "mix_ratios": q_mix_ratios,
+        "bpe_encode": q_bpe_encode,
+        "weighted_sample": q_weighted_sample,
+        "source_kl": q_source_kl,
         "semantic_dedup": q_semantic_dedup,
         "nb_classifier": q_nb_classifier,
         "heavy_hitters": q_heavy_hitters,
@@ -3458,6 +3718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_calibrate_by": _oracle_quality_calibrate_by(),
+        "dedup_inner_lines": _oracle_dedup_inner_lines(),
+        "mix_ratios": _oracle_mix_ratios(),
+        "bpe_encode": _oracle_bpe_encode(),
+        "weighted_sample": _oracle_weighted_sample(),
+        "source_kl": _oracle_source_kl(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "nb_classifier": _oracle_nb_classifier(),
         "heavy_hitters": _oracle_heavy_hitters(),

@@ -407,8 +407,13 @@ def main() -> None:
              # exact MG heavy hitters, histogram-calibrated quality cut,
              # one BPE merge step
              "heavy_hitters", "quality_calibrate", "bpe_merge", "bpe_train",
-             # SemDeDup cells + distilled NB re-scoring
-             "semantic_dedup", "nb_classifier")
+             # SemDeDup cells + distilled NB re-scoring; BPE inference,
+             # E-S weighted sampling, per-source KL
+             "semantic_dedup", "nb_classifier",
+             "bpe_encode", "weighted_sample", "source_kl",
+             # stratified calibration, within-doc line dedup, mixture
+             # solver
+             "quality_calibrate_by", "dedup_inner_lines", "mix_ratios")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

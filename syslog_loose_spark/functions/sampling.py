@@ -122,3 +122,43 @@ def mix_sources(df: DataFrame, ratios: list[tuple[str, float]],
         keep = (F.when(F.col(source_col) == name, F.lit(float(r)))
                 .otherwise(keep))
     return df.where(frac < keep)
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id", cap: int = 32,
+                    key_out: str = "sample_key") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the n rows
+    with the smallest key, where a row's key is the MINIMUM of w
+    independent md5 draws (w = clamp(weight, 0, cap); weight<=0 rows are
+    excluded).  Mapping each draw u through -ln(1-u) turns the row key
+    into a min of w iid Exp(1) variables ~ Exp(w), and the map is the
+    same monotone function for every row — so the induced ranking is
+    EXACTLY the Efraimidis-Spirakis (2006) exponential-key order
+    (P(a outranks b) = w_a/(w_a+w_b), successive-weighted-draw
+    semantics), but the comparison stays on md5 HEX STRINGS: no ln, no
+    pow, no float whose last ulp could diverge between engines.
+
+    ``cap`` bounds the per-row draw count (the md5 array is O(cap) JVM
+    work per row, and a row with weight >= cap saturates — document the
+    truncation when weights are heavy-tailed).  Fractional weights need
+    the float exponential-key path; integer weights (token counts,
+    quality grades) are the pipeline case and stay hash-exact.
+
+    Scale shape: keys are a pure per-row projection (no shuffle), and
+    the n smallest rows come from orderBy+limit == TakeOrdered — a
+    per-partition partial top-n plus one n*partitions merge, never a
+    global sort.  Rerun-stable and growth-stable the same way
+    hash_split is: a row's key never changes when the corpus grows.
+    Returns the sampled rows with ``sample_key`` appended."""
+    wcl = F.least(F.greatest(F.coalesce(
+        F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)),
+        F.lit(int(cap)))
+    key = F.array_min(F.transform(
+        F.sequence(F.lit(1), wcl),
+        lambda i: F.md5(F.concat(F.lit("wsamp-"),
+                                 F.col(id_col).cast("string"),
+                                 F.lit("-"), i.cast("string")))))
+    return (df.withColumn(key_out, key)
+            .where(wcl >= 1)
+            .orderBy(key_out, id_col)
+            .limit(n))

@@ -884,3 +884,220 @@ def nb_lang_classifier(df, text_col: str = "text",
                     F.col("score_mn").cast("long").alias("score_mn"),
                     (F.col("label") == F.col("pred"))
                      .cast("long").alias("agree")))
+
+
+def bpe_encode(df, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Apply a trained BPE merge table to the corpus — the inference
+    side of bpe_train (Sennrich et al. 2016: train once, encode every
+    crawl with the frozen merge list).  ``merges`` is an ordered list of
+    (w1, w2) pairs (accepts bpe_train's (step, w1, w2, count) rows too);
+    merges apply in LIST ORDER and merged symbols (joined with \\x1f)
+    participate in later merges, exactly as during training.
+
+    Scale shape: the merge list is configuration, not data, so the whole
+    encode compiles into ONE chained pure-JVM ``replace`` expression
+    over the wrapped-token string (see bpe_merge_step for why replace ==
+    the greedy left-to-right scan) — no shuffle, no join, no Python; at
+    100 TB this is the map side of whatever follows.
+
+    Differential contract (unit-tested): encoding the training corpus
+    with bpe_train's own merge list reproduces bpe_train's tokens_df
+    byte-for-byte.  Returns (id, tokens array<string>, n_tokens)."""
+    sep = _BPE_CLOSE + _BPE_OPEN
+    s = F.concat(F.lit(_BPE_OPEN),
+                 F.array_join(words(F.col(text_col)), sep),
+                 F.lit(_BPE_CLOSE))
+    for m in merges:
+        w1, w2 = (m[1], m[2]) if len(m) == 4 else (m[0], m[1])
+        pat = _BPE_OPEN + w1 + _BPE_CLOSE + _BPE_OPEN + w2 + _BPE_CLOSE
+        rep = _BPE_OPEN + w1 + _BPE_JOIN + w2 + _BPE_CLOSE
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    staged = df.select(F.col(id_col), s.alias("_bs"))
+    toks = F.split(F.expr("substring(_bs, 2, length(_bs) - 2)"), sep)
+    return staged.select(F.col(id_col),
+                         toks.alias("tokens"),
+                         F.size(toks).cast("long").alias("n_tokens"))
+
+
+def source_kl_divergence(df, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         source_col: str = "source"):
+    """Per-source distribution shift: KL(P_source || P_corpus) over the
+    unigram word distributions, the domain-weighting diagnostic a
+    mixture designer reads before setting mix_sources ratios (a source
+    whose KL is near 0 duplicates the corpus; a high-KL source carries
+    distinct vocabulary).
+
+    Determinism contract (millinat lockstep rule): one ln per
+    (source, word) TYPE for ln(c_sw/T_s) and one per word TYPE for
+    ln(c_w/T), each ROUND(LN(CAST(c AS DOUBLE)/T) * 1000) -> BIGINT;
+    KL is then the pure integer sum  SUM(c_sw * (mn_s - mn_c))
+    floor-divided (engine-portable ``_floor_div``) by T_s — mean
+    millinats per token.  P_source is absolutely continuous w.r.t.
+    P_corpus by construction (every source word IS a corpus word), so
+    the KL is always finite.
+
+    Scale shape: tokens collapse FIRST through the (source, word) hash
+    agg; the corpus side is ONE more agg over that relation; the
+    word-keyed re-join carries NO broadcast hint (vocabulary grows with
+    the corpus, AQE decides), and the per-source totals join is
+    source-keyed with no hint either (web corpora have 10^7+ domains).
+    Returns (source, n_tokens, kl_mn)."""
+    w = df.select(F.col(source_col).alias("src"),
+                  F.explode(words(F.col(text_col))).alias("wd"))
+    sw = w.groupBy("src", "wd").agg(F.count(F.lit(1)).alias("c"))
+    ts = sw.groupBy("src").agg(F.sum("c").alias("tsrc"))
+    cw = sw.groupBy("wd").agg(F.sum("c").alias("cw"))
+    tot = cw.agg(F.sum("cw").alias("t"))
+    corp = (cw.crossJoin(F.broadcast(tot))
+            .select("wd",
+                    F.round(F.log(F.col("cw").cast("double")
+                                  / F.col("t")) * 1000)
+                     .cast("long").alias("mn_c")))
+    return (sw.join(ts, "src")
+            .select("src", "wd", "c",
+                    F.round(F.log(F.col("c").cast("double")
+                                  / F.col("tsrc")) * 1000)
+                     .cast("long").alias("mn_s"))
+            .join(corp, "wd")
+            .groupBy("src")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.sum(F.col("c") * (F.col("mn_s") - F.col("mn_c")))
+                  .alias("num"))
+            .select(F.col("src").alias(source_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    _floor_div(F.col("num"), F.col("n_tokens"))
+                    .alias("kl_mn")))
+
+
+def calibrated_quality_cut_by(df, group_col: str = "source",
+                              keep_ppm: int = 800_000,
+                              text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Stratified percentile calibration: the calibrated_quality_cut
+    threshold rule computed PER GROUP (source, language, crawl...) —
+    one GLOBAL cut silently over-prunes any stratum whose style
+    diverges from the corpus mean, which is why CCNet calibrates its
+    perplexity terciles per language bucket (Wenzek et al. 2020); the
+    per-group walk keeps the keep fraction inside EVERY stratum.
+    Scores stay corpus-global (one shared frequency table), only the
+    threshold is stratified.
+
+    Scale shape: identical to the global variant except the bounded
+    histogram is keyed (group, score) — still tiny: |groups| × the
+    entropy-bounded score range — the cumulative walk is a window over
+    that relation partitioned by group, and the per-group thresholds
+    join back group-keyed with NO broadcast hint (domain counts grow
+    with the corpus, AQE decides).  The group column rides the per-doc
+    aggregation keys (functionally dependent on the doc id), so there
+    is no extra shuffle versus the global variant.
+
+    Same threshold contract per group: T_g = max score s with
+    #{docs in g: score >= s} >= ceil(keep_ppm * n_g / 1e6); ties at
+    T_g overshoot, never undershoot.  Returns (id, group, score, kept)
+    for ALL docs."""
+    from pyspark.sql import Window
+
+    from .dedup import _track
+
+    w = df.select(F.col(id_col).alias("id"),
+                  F.col(group_col).alias("grp"),
+                  F.explode(words(F.col(text_col))).alias("wd"))
+    tf = w.groupBy("id", "grp", "wd").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("wd").agg(F.sum("tf").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp = (freq.crossJoin(F.broadcast(total))
+          .select("wd",
+                  F.round(F.log(F.col("c").cast("double")
+                                / F.col("total")) * 1000)
+                   .cast("long").alias("mn")))
+    scored = _track(
+        tf.join(lp, "wd")
+        .groupBy("id", "grp")
+        .agg(F.sum("tf").alias("n_words"),
+             F.sum(F.col("tf") * F.col("mn")).alias("sum_mn"))
+        .select("id", "grp",
+                _floor_div(F.col("sum_mn"),
+                           F.col("n_words")).alias("score")))
+    hist = scored.groupBy("grp", "score").agg(F.count(F.lit(1)).alias("c"))
+    nd = scored.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    cum = (hist.join(nd, "grp")
+           .withColumn("cum", F.sum("c").over(
+               Window.partitionBy("grp").orderBy(F.desc("score"))
+               .rowsBetween(Window.unboundedPreceding, 0))))
+    thr = (cum.where(F.lit(1_000_000) * F.col("cum")
+                     >= F.lit(int(keep_ppm)) * F.col("n"))
+           .groupBy("grp").agg(F.max("score").alias("thr")))
+    return (scored.join(thr, "grp")
+            .select(F.col("id").alias(id_col),
+                    F.col("grp").alias(group_col),
+                    F.col("score"),
+                    (F.col("score") >= F.col("thr"))
+                    .cast("long").alias("kept")))
+
+
+def dedup_inner_lines(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repeated-line excision: keep only the FIRST
+    occurrence of each distinct line inside a document, preserving
+    order — the intra-doc complement of remove_boilerplate_lines
+    (cross-doc chrome) and strip_duplicated_spans (cross-doc n-grams);
+    scraped pages repeat their own nav blocks and listing rows, and
+    repeated-line collapse is a standard cleaning pass (C4-style
+    dedup at line granularity, Raffel et al. 2020 §2.2 keep one of
+    every three-sentence repeat).
+
+    Scale shape: a PURE per-row array expression — no shuffle, no
+    join, no cross-doc state, no Python: the first-occurrence test is
+    array_position(lines, x) == i inside a single filter lambda, so
+    the whole operator is the map side of whatever follows.  Returns
+    (id, text, n_dropped)."""
+    staged = df.select(F.col(id_col),
+                       F.split(F.col(text_col), "\n").alias("_ls"))
+    kept = F.expr("filter(_ls, (x, i) -> array_position(_ls, x) = i + 1)")
+    return staged.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        (F.size("_ls") - F.size(kept)).cast("long").alias("n_dropped"))
+
+
+def mix_ratios_for_targets(df, targets, text_col: str = "text",
+                           source_col: str = "source"):
+    """Prescriptive mixture solver — the third leg of the mixture
+    toolchain (source_kl_divergence DIAGNOSES shift, this PRESCRIBES
+    ratios, mix_sources APPLIES them): given token-share targets
+    (source, share_ppm), emit the per-source KEEP ratio (ppm) that
+    down-samples each over-represented source to its target share of
+    the CURRENT corpus token count:  ratio = min(1, target_share * T /
+    T_s), integer ppm via the engine-portable floor division.  Sources
+    without a target keep everything (ratio 1e6); under-target sources
+    saturate at 1e6 — up-sampling is an epoch/repetition choice at
+    training time, not a row filter (the mix_sources contract).
+
+    Scale shape: one token-count hash agg per source (map-side
+    partial; the shuffle carries one row per source) and a pure
+    projection — the target table is configuration and compiles into
+    a CASE, nothing joined.  The per-source relation feeds BOTH the
+    1-row total and the output, so it persists through the bounded
+    dedup registry: ONE corpus scan, not two.  Returns
+    (source, n_tokens, ratio_ppm)."""
+    from .dedup import _track
+
+    toks = _track(
+        df.select(F.col(source_col).alias("src"),
+                  token_count(F.col(text_col)).alias("nt"))
+        .groupBy("src").agg(F.sum("nt").alias("n_tokens")))
+    tot = toks.agg(F.sum("n_tokens").alias("t"))
+    target = F.lit(None).cast("long")
+    for name, share_ppm in reversed(list(targets)):
+        target = (F.when(F.col("src") == name,
+                         F.lit(int(share_ppm)).cast("long"))
+                  .otherwise(target))
+    return (toks.crossJoin(F.broadcast(tot))
+            .select(F.col("src").alias(source_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.when(target.isNull(), F.lit(1_000_000).cast("long"))
+                     .otherwise(F.least(
+                         F.lit(1_000_000).cast("long"),
+                         _floor_div(target * F.col("t"),
+                                    F.col("n_tokens"))))
+                     .alias("ratio_ppm")))

@@ -410,3 +410,105 @@ def test_nb_classifier_model_join_no_forced_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert default == fallback
+
+
+def test_bpe_encode_pure_map_no_exchange(spark):
+    """bpe_encode compiles a frozen merge table into one chained replace
+    expression: zero exchanges, zero Python — at 100 TB it is the map
+    side of whatever follows, never a stage of its own."""
+    from syslog_loose_spark.functions.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c a")], "doc_id LONG, text STRING")
+    plan = _plan(bpe_encode(docs, [("a", "b"), ("a\x1fb", "c")]))
+    assert "Exchange" not in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+
+
+def test_weighted_sample_partial_topk(spark):
+    """weighted_sample's n smallest keys come from TakeOrdered (per-
+    partition partial top-n + one merge), never a global sort, and the
+    key is a pure projection — no exchange beyond the top-n merge, no
+    Python."""
+    from pyspark.sql import functions as F2
+    from syslog_loose_spark.functions.sampling import weighted_sample
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("wt", F2.pmod(F2.col("n_chars"), F2.lit(7)))
+    plan = _plan(weighted_sample(docs, 20, "wt"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+
+
+def test_source_kl_no_forced_broadcast_on_vocab_join(spark):
+    """source_kl_divergence's word-keyed corpus join and source-keyed
+    totals join carry NO broadcast hint (vocabulary and domain count
+    grow with the corpus).  With broadcasting disabled the plan falls
+    back to shuffle joins AND produces identical results; the 1-row
+    total keeps its explicit broadcast."""
+    from syslog_loose_spark.functions.text import source_kl_divergence
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(150)
+    default = sorted(source_kl_divergence(docs).collect())
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = source_kl_divergence(docs)
+        plan = _plan(df)
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan
+        fallback = sorted(df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert default == fallback
+
+
+def test_dedup_inner_lines_pure_map_no_exchange(spark):
+    """dedup_inner_lines is one per-row array expression: zero
+    exchanges, zero Python — intra-doc state never crosses rows."""
+    from syslog_loose_spark.functions.text import dedup_inner_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "x\nx")], "doc_id LONG, text STRING")
+    plan = _plan(dedup_inner_lines(docs))
+    assert "Exchange" not in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+
+
+def test_quality_cut_by_reuses_cached_scores(spark):
+    """calibrated_quality_cut_by: the (group, score) relation feeds the
+    per-group histogram AND the output join through the persisted cache
+    — the unigram pipeline must not appear twice in the plan."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import calibrated_quality_cut_by
+
+    df = spark.createDataFrame(
+        [(i, "x y z common common", "s%d" % (i % 2)) for i in range(30)],
+        "doc_id LONG, text STRING, source STRING")
+    try:
+        plan = _plan(calibrated_quality_cut_by(df))
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        unpersist_tracked()
+
+
+def test_mix_ratios_single_scan_via_cache(spark):
+    """mix_ratios_for_targets: the per-source token counts feed both
+    the 1-row total and the output through the persisted cache — one
+    corpus scan, and the total joins by broadcast."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import mix_ratios_for_targets
+
+    df = spark.createDataFrame(
+        [(i, "a b c", "s%d" % (i % 3)) for i in range(30)],
+        "doc_id LONG, text STRING, source STRING")
+    try:
+        plan = _plan(mix_ratios_for_targets(df, [("s0", 10_000)]))
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, \
+            plan
+    finally:
+        unpersist_tracked()

@@ -1763,3 +1763,187 @@ def test_nb_classifier_matches_python_reference(spark):
     assert {v[0] for v in expected.values()} == {"en", "de", "unknown"}
     assert any(v[3] == 0 for v in expected.values()), \
         "fixture should exercise the disagreement surface"
+
+
+def test_bpe_encode_reproduces_train_tokens(spark):
+    """Train->export->apply faithfulness: encoding the training corpus
+    with bpe_train's own merge list (including any second-order merges)
+    reproduces bpe_train's tokens_df byte-for-byte, and the chained
+    replace applies merges in LIST ORDER (a later merge can consume an
+    earlier merge's \\x1f symbol)."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    try:
+        merges, toks = bpe_train(docs, n_steps=3)
+        assert merges, "fixture must discover at least one merge"
+        train_out = {r["doc_id"]: (tuple(r["tokens"]), r["n_tokens"])
+                     for r in toks.collect()}
+    finally:
+        unpersist_tracked()
+    enc_out = {r["doc_id"]: (tuple(r["tokens"]), r["n_tokens"])
+               for r in bpe_encode(docs, merges).collect()}
+    assert enc_out == train_out
+
+    # order sensitivity: a second-order merge consuming \x1f symbols
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    two = bpe_encode(df, [("a", "b"), ("a\x1fb", "c")]).collect()[0]
+    assert tuple(two["tokens"]) == ("a\x1fb\x1fc",)
+    # reversed order: the second-order pattern never exists yet
+    rev = bpe_encode(df, [("a\x1fb", "c"), ("a", "b")]).collect()[0]
+    assert tuple(rev["tokens"]) == ("a\x1fb", "c")
+
+
+def test_weighted_sample_invariants(spark):
+    """Deterministic E-S sampler: (a) weight<=0 rows never selected,
+    (b) n=10 selection is a prefix of n=50 (sorted-key property),
+    (c) weights at/above cap saturate to identical keys, (d) rerun
+    stability, (e) on a half-weight-32/half-weight-1 corpus the heavy
+    rows dominate the sample (fixed md5 draws — no flakiness)."""
+    from pyspark.sql import functions as F2
+    from syslog_loose_spark.functions.sampling import weighted_sample
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    d = docs.withColumn("wt", F2.pmod(F2.col("n_chars"), F2.lit(7)))
+    s50 = weighted_sample(d, 50, "wt").collect()
+    assert len(s50) == 50
+    assert all(r["wt"] >= 1 for r in s50)
+    ids50 = [r["doc_id"] for r in s50]
+    ids10 = [r["doc_id"] for r in weighted_sample(d, 10, "wt").collect()]
+    assert set(ids10) <= set(ids50)
+    assert ids50 == [r["doc_id"]
+                     for r in weighted_sample(d, 50, "wt").collect()]
+
+    capped = d.withColumn("wt", F2.when(F2.col("doc_id") % 2 == 0,
+                                        F2.lit(40)).otherwise(F2.lit(32)))
+    keys = {r["doc_id"]: r["sample_key"]
+            for r in weighted_sample(capped, 500, "wt", cap=32).collect()}
+    flat = d.withColumn("wt", F2.lit(32))
+    keys_flat = {r["doc_id"]: r["sample_key"]
+                 for r in weighted_sample(flat, 500, "wt", cap=32)
+                 .collect()}
+    assert keys == keys_flat  # 40 clamps to 32: identical draws
+
+    skew = d.withColumn("wt", F2.when(F2.col("doc_id") % 2 == 0,
+                                      F2.lit(32)).otherwise(F2.lit(1)))
+    heavy = sum(1 for r in weighted_sample(skew, 50, "wt").collect()
+                if r["doc_id"] % 2 == 0)
+    assert heavy >= 40, heavy  # E[heavy] ~ 48.5 of 50
+
+
+def test_source_kl_hand_computed(spark):
+    """Two planted sources: one mirrors the corpus mixture (KL near 0),
+    one concentrates on its own vocabulary (strictly larger KL); values
+    replayed exactly through the millinat quantization contract."""
+    import math
+    from collections import Counter
+
+    from syslog_loose_spark.functions.text import source_kl_divergence
+
+    rows = [(1, "a a b", "mix"), (2, "b a a", "mix"),
+            (3, "z z z", "zed")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, "
+                                     "source STRING")
+    sw = Counter()
+    for _, t, s in rows:
+        for w in t.split(" "):
+            sw[(s, w)] += 1
+    ts = Counter()
+    cw = Counter()
+    for (s, w), c in sw.items():
+        ts[s] += c
+        cw[w] += c
+    t = sum(cw.values())
+
+    def mn(x):
+        return int(round(math.log(x) * 1000))
+
+    exp = {}
+    for s in ts:
+        num = sum(c * (mn(c / ts[s]) - mn(cw[w] / t))
+                  for (s2, w), c in sw.items() if s2 == s)
+        exp[s] = (ts[s], (num - (((num % ts[s]) + ts[s]) % ts[s]))
+                  // ts[s])
+    got = {r["source"]: (r["n_tokens"], r["kl_mn"])
+           for r in source_kl_divergence(df).collect()}
+    assert got == exp
+    assert got["zed"][1] > got["mix"][1] >= 0
+
+
+def test_calibrated_quality_cut_by_per_group_contract(spark):
+    """Stratified calibration: on a corpus where one source's docs all
+    score far below the other's, the GLOBAL cut prunes the weak source
+    wholesale while the per-group cut keeps >= keep_ppm of EVERY
+    group; scores themselves stay corpus-global (identical to the
+    global variant's)."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import (
+        calibrated_quality_cut, calibrated_quality_cut_by)
+
+    rows = [(i, "common common common words here", "good")
+            for i in range(10)]
+    rows += [(100 + i, f"rare{i} odd{i} gibberish{i}", "noise")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, "
+                                     "source STRING")
+    try:
+        by = calibrated_quality_cut_by(df, keep_ppm=600_000).collect()
+        glob = {r["doc_id"]: r["score"]
+                for r in calibrated_quality_cut(df, keep_ppm=600_000)
+                .collect()}
+    finally:
+        unpersist_tracked()
+    assert {r["doc_id"]: r["score"] for r in by} == glob
+    for src in ("good", "noise"):
+        grp = [r for r in by if r["source"] == src]
+        keep = sum(r["kept"] for r in grp) / len(grp)
+        assert keep >= 0.6, (src, keep)
+    # the global cut at the same ppm keeps NO noise doc (scores are
+    # strictly below every good doc's) — the over-pruning the
+    # stratified walk exists to prevent
+    noise_scores = [r["score"] for r in by if r["source"] == "noise"]
+    good_scores = [r["score"] for r in by if r["source"] == "good"]
+    assert max(noise_scores) < min(good_scores)
+
+
+def test_dedup_inner_lines_order_and_idempotency(spark):
+    """First occurrence survives in place, later repeats drop, unique
+    lines (including the empty line) pass through; applying the
+    operator twice is a no-op."""
+    from syslog_loose_spark.functions.text import dedup_inner_lines
+
+    text = "a\nb\na\n\nc\nb\na\n"
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    out = dedup_inner_lines(df).collect()[0]
+    assert out["text"] == "a\nb\n\nc"
+    assert out["n_dropped"] == 4  # a, b, a, and the trailing '' repeat
+    again = dedup_inner_lines(
+        spark.createDataFrame([(1, out["text"])],
+                              "doc_id LONG, text STRING")).collect()[0]
+    assert again["text"] == out["text"] and again["n_dropped"] == 0
+
+
+def test_mix_ratios_hand_computed(spark):
+    """Integer prescription: over-target source gets floor(target * T /
+    T_s) ppm, under-target saturates at 1e6, untargeted keeps 1e6."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import mix_ratios_for_targets
+
+    rows = [(1, "w " * 79 + "w", "big"),      # 80 tokens
+            (2, "w " * 15 + "w", "small"),    # 16 tokens
+            (3, "w w w w", "other")]          # 4 tokens
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, "
+                                     "source STRING")
+    try:
+        got = {r["source"]: (r["n_tokens"], r["ratio_ppm"])
+               for r in mix_ratios_for_targets(
+                   df, [("big", 100_000), ("small", 900_000)]).collect()}
+    finally:
+        unpersist_tracked()
+    t = 100
+    assert got["big"] == (80, (100_000 * t) // 80)     # 125000
+    assert got["small"] == (16, 1_000_000)             # under target
+    assert got["other"] == (4, 1_000_000)              # untargeted
