@@ -3442,6 +3442,63 @@ FROM tgt CROSS JOIN tot ORDER BY source
 """
 
 
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (text.bigram_backoff_logprob):
+    count-pruned bigram model (min_count=3) over the corpus itself,
+    backoff = integer alpha + unigram millinats.  Pins the bigram
+    pruning floor, both ln quantizations, the per-position hit
+    accounting, and the first-token unigram term."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bigram_backoff_logprob(docs, min_count=3).orderBy("doc_id")
+
+
+def _oracle_bigram_backoff() -> str:
+    # Same ln expressions in the same term order (millinat lockstep);
+    # the backoff penalty is the shared integer constant -916.
+    return """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS wd FROM base),
+uni AS (SELECT wd, COUNT(*) AS cu FROM w GROUP BY wd),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM uni),
+mnu AS (SELECT wd,
+               CAST(ROUND(LN(CAST(cu AS DOUBLE) / t) * 1000) AS BIGINT)
+                 AS mn_u
+        FROM uni CROSS JOIN tot),
+bgs AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM base, LATERAL (SELECT unnest(generate_series(
+                            1, len(ws) - 1)) AS i) u),
+tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bgs
+        GROUP BY doc_id, w1, w2),
+cbg AS (SELECT w1, w2, SUM(tf) AS cb FROM tfb GROUP BY w1, w2
+        HAVING SUM(tf) >= 3),
+mnbg AS (SELECT c.w1, c.w2,
+                CAST(ROUND(LN(CAST(c.cb AS DOUBLE) / u.cu) * 1000)
+                     AS BIGINT) AS mn_bg
+         FROM cbg c JOIN uni u ON c.w1 = u.wd),
+sbg AS (SELECT t.doc_id,
+               SUM(t.tf * COALESCE(m.mn_bg, -916 + mu.mn_u)) AS s_bg,
+               SUM(CASE WHEN m.mn_bg IS NOT NULL THEN t.tf
+                        ELSE 0 END) AS hits
+        FROM tfb t
+        LEFT JOIN mnbg m ON t.w1 = m.w1 AND t.w2 = m.w2
+        JOIN mnu mu ON t.w2 = mu.wd
+        GROUP BY t.doc_id),
+fmn AS (SELECT b.doc_id, m.mn_u AS mn_first
+        FROM (SELECT doc_id, ws[1] AS wd FROM base) b
+        JOIN mnu m ON b.wd = m.wd)
+SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.hits, 0) AS BIGINT) AS n_hits,
+       CAST(f.mn_first + COALESCE(s.s_bg, 0) AS BIGINT) AS sum_mn,
+       ROUND(CAST(f.mn_first + COALESCE(s.s_bg, 0) AS DOUBLE)
+             / len(b.ws), 4) AS mean_mn
+FROM base b
+JOIN fmn f ON b.doc_id = f.doc_id
+LEFT JOIN sbg s ON b.doc_id = s.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3632,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "bigram_backoff": q_bigram_backoff,
         "quality_calibrate_by": q_quality_calibrate_by,
         "dedup_inner_lines": q_dedup_inner_lines,
         "mix_ratios": q_mix_ratios,
@@ -3718,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bigram_backoff": _oracle_bigram_backoff(),
         "quality_calibrate_by": _oracle_quality_calibrate_by(),
         "dedup_inner_lines": _oracle_dedup_inner_lines(),
         "mix_ratios": _oracle_mix_ratios(),

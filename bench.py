@@ -413,7 +413,8 @@ def main() -> None:
              "bpe_encode", "weighted_sample", "source_kl",
              # stratified calibration, within-doc line dedup, mixture
              # solver
-             "quality_calibrate_by", "dedup_inner_lines", "mix_ratios")
+             "quality_calibrate_by", "dedup_inner_lines", "mix_ratios",
+             "bigram_backoff")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

@@ -1101,3 +1101,93 @@ def mix_ratios_for_targets(df, targets, text_col: str = "text",
                          _floor_div(target * F.col("t"),
                                     F.col("n_tokens"))))
                      .alias("ratio_ppm")))
+
+
+# round(ln(0.4) * 1000): the stupid-backoff penalty as a CONSTANT
+# integer millinat, embedded identically in the DuckDB twins — the one
+# "float" of the backoff path never touches either engine's libm.
+BACKOFF_ALPHA_MN = -916
+
+
+def bigram_backoff_logprob(df, min_count: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Per-document mean bigram log-score under a count-pruned stupid-
+    backoff LM (Brants et al. 2007 — the web-scale serving trick:
+    S(w|v) = c(vw)/c(v) when the bigram survives pruning, else
+    0.4 * c(w)/T; no discounting, no normalization, built for exactly
+    this kind of MapReduce-style corpus counting).  ``min_count``
+    prunes singleton bigrams from the model, so backoff genuinely
+    fires even when the LM scores its own training corpus — the
+    sharper context-aware sibling of unigram_logprob_stats for
+    gibberish/OCR filtering (word salad has plausible unigrams but
+    implausible transitions).
+
+    Determinism contract (millinat lockstep): mn_bg = one ln per
+    SURVIVING BIGRAM TYPE ln(c_vw/c_v); mn_u = one ln per word type
+    ln(c_w/T); the backoff penalty is the integer constant
+    BACKOFF_ALPHA_MN (= round(ln .4 * 1000), embedded on both
+    engines); per-doc sums are pure integer.  The first token scores
+    mn_u (no left context), positions 2..n score mn_bg or
+    alpha + mn_u.
+
+    Scale shape: the bigram stream collapses FIRST through the
+    (doc, w1, w2) hash agg; the corpus bigram/unigram tables are one
+    more agg over those relations; the model joins are bigram-/word-
+    keyed with NO broadcast hint (both grow with the corpus, AQE
+    decides) and the corpus total is the only forced broadcast (one
+    row).  Returns (id, n_tokens, n_hits, sum_mn, mean_mn) — n_hits
+    counts positions scored by a surviving bigram."""
+    ws = words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    tfu = (base.select("id", F.explode("ws").alias("wd"))
+           .groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf")))
+    uni = tfu.groupBy("wd").agg(F.sum("tf").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("t"))
+    mnu = (uni.crossJoin(F.broadcast(tot))
+           .select("wd",
+                   F.round(F.log(F.col("cu").cast("double")
+                                 / F.col("t")) * 1000)
+                    .cast("long").alias("mn_u")))
+    tfb = (base.select("id", F.explode(F.when(
+        F.size("ws") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("w1"),
+                        F.element_at(F.col("ws"), i + 1).alias("w2")))
+    ).otherwise(F.array())).alias("p")).select("id", "p.w1", "p.w2")
+        .groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")))
+    cbg = (tfb.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+           .where(F.col("cb") >= int(min_count)))
+    mnbg = (cbg.join(uni.select(F.col("wd").alias("w1"),
+                                F.col("cu").alias("c1")), "w1")
+            .select("w1", "w2",
+                    F.round(F.log(F.col("cb").cast("double")
+                                  / F.col("c1")) * 1000)
+                     .cast("long").alias("mn_bg")))
+    sbg = (tfb.join(mnbg, ["w1", "w2"], "left")
+           .join(mnu.select(F.col("wd").alias("w2"),
+                            F.col("mn_u").alias("mu2")), "w2")
+           .groupBy("id")
+           .agg(F.sum(F.col("tf") * F.coalesce(
+                    F.col("mn_bg"),
+                    F.lit(BACKOFF_ALPHA_MN) + F.col("mu2")))
+                .alias("s_bg"),
+                F.sum(F.when(F.col("mn_bg").isNotNull(), F.col("tf"))
+                      .otherwise(F.lit(0))).alias("hits")))
+    first = (base.select("id", F.element_at("ws", 1).alias("wd"))
+             .join(mnu, "wd")
+             .select("id", F.col("mn_u").alias("mn_first")))
+    ntok = base.select("id", F.size("ws").cast("long").alias("n_tokens"))
+    return (ntok.join(first, "id")
+            .join(sbg, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    "n_tokens",
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    (F.col("mn_first") + F.coalesce(F.col("s_bg"),
+                                                    F.lit(0)))
+                    .cast("long").alias("sum_mn"),
+                    F.round((F.col("mn_first")
+                             + F.coalesce(F.col("s_bg"), F.lit(0)))
+                            / F.col("n_tokens"), 4).alias("mean_mn")))

@@ -512,3 +512,26 @@ def test_mix_ratios_single_scan_via_cache(spark):
             plan
     finally:
         unpersist_tracked()
+
+
+def test_bigram_backoff_no_forced_broadcast_on_model_joins(spark):
+    """bigram_backoff_logprob: the bigram- and word-keyed model joins
+    carry NO broadcast hint (both tables grow with the corpus).  With
+    broadcasting disabled the joins fall back to shuffle joins AND
+    produce identical results; the 1-row corpus total keeps its
+    explicit broadcast."""
+    from syslog_loose_spark.functions.text import bigram_backoff_logprob
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    default = sorted(bigram_backoff_logprob(docs).collect())
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bigram_backoff_logprob(docs)
+        plan = _plan(df)
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan
+        fallback = sorted(df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert default == fallback

@@ -1947,3 +1947,51 @@ def test_mix_ratios_hand_computed(spark):
     assert got["big"] == (80, (100_000 * t) // 80)     # 125000
     assert got["small"] == (16, 1_000_000)             # under target
     assert got["other"] == (4, 1_000_000)              # untargeted
+
+
+def test_bigram_backoff_matches_python_reference(spark):
+    """Count-pruned stupid backoff vs a direct Python replay of the
+    millinat contract: surviving bigrams score ln(c_vw/c_v), pruned
+    transitions score the integer alpha + unigram, the first token
+    scores unigram-only, and hits count positions (weighted by tf).
+    The fixture covers hit, backoff, single-token, and repeated-bigram
+    paths."""
+    import math
+    from collections import Counter
+
+    from syslog_loose_spark.functions.text import (
+        BACKOFF_ALPHA_MN, bigram_backoff_logprob)
+
+    texts = ["a b a b c", "a b a b", "c c a", "b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_hits"], r["sum_mn"],
+                         r["mean_mn"])
+           for r in bigram_backoff_logprob(df, min_count=2).collect()}
+
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    tot = sum(uni.values())
+
+    def mn(x):
+        return int(round(math.log(x) * 1000))
+
+    mnu = {w: mn(c / tot) for w, c in uni.items()}
+    mnbg = {p: mn(c / uni[p[0]]) for p, c in bg.items() if c >= 2}
+    exp = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        sm, hits = mnu[ws[0]], 0
+        for p in zip(ws, ws[1:]):
+            if p in mnbg:
+                sm += mnbg[p]
+                hits += 1
+            else:
+                sm += BACKOFF_ALPHA_MN + mnu[p[1]]
+        exp[i] = (len(ws), hits, sm, round(sm / len(ws), 4))
+    assert got == exp
+    assert any(v[1] == 0 for v in exp.values())   # backoff-only doc
+    assert any(v[1] >= 3 for v in exp.values())   # hit-heavy doc
