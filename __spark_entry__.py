@@ -3499,6 +3499,138 @@ ORDER BY b.doc_id
 """
 
 
+def q_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization (similarity.sq8_quantize): per-dim
+    corpus min/max ranges -> one uint8 code per dimension, plus the
+    micro-unit-quantized reconstruction error.  The code md5 pins all
+    64 codes of every vector; the error sum pins the reconstruction
+    arithmetic term-for-term."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.sq8_quantize(emb)
+            .select("vec_id",
+                    F.md5(F.array_join(
+                        F.expr("transform(codes, c -> cast(c as string))"),
+                        ",")).alias("code_md5"),
+                    "sum_abs_err_um")
+            .orderBy("vec_id"))
+
+
+def _oracle_sq8_quantize() -> str:
+    # Same arithmetic in the same term order; ROUND ties agree because
+    # every rounded operand is non-negative.
+    return """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, i, v[i] AS x FROM e,
+      LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u),
+st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY i),
+codes AS (SELECT d.vec_id, d.i,
+  CASE WHEN st.mx = st.mn THEN 0
+       ELSE CAST(ROUND((d.x - st.mn) * 255.0 / (st.mx - st.mn))
+                 AS INTEGER)
+  END AS code,
+  CASE WHEN st.mx = st.mn
+       THEN CAST(ROUND(ABS(d.x - st.mn) * 1000000.0) AS BIGINT)
+       ELSE CAST(ROUND(ABS(d.x - (st.mn
+            + ROUND((d.x - st.mn) * 255.0 / (st.mx - st.mn))
+            * (st.mx - st.mn) / 255.0)) * 1000000.0) AS BIGINT)
+  END AS err_um
+  FROM d JOIN st ON d.i = st.i)
+SELECT vec_id,
+  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS code_md5,
+  CAST(SUM(err_um) AS BIGINT) AS sum_abs_err_um
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copied-passage detection (dedup.winnow_near_dups,
+    k=4 w=5): docs with doc_id % 17 == 3 append the FULL text of
+    template doc 50*(doc_id % 3), so every (copy, template) pair — and
+    every pair of copies sharing a template — shares a >= w+k-1 token
+    run and must surface with n_shared >= 1.  Pins gram hashing, the
+    sliding minima, the bucket cap, and the shared-count aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    tpl = docs.select(F.col("doc_id").alias("tid"),
+                      F.col("text").alias("ttext"))
+    aug = (docs.withColumn(
+        "tid", F.when(F.col("doc_id") % 17 == 3,
+                      F.lit(50) * (F.col("doc_id") % 3)))
+        .join(F.broadcast(tpl), "tid", "left")
+        .select("doc_id",
+                F.when(F.col("ttext").isNotNull(),
+                       F.concat(F.col("text"), F.lit(" "),
+                                F.col("ttext")))
+                 .otherwise(F.col("text")).alias("text")))
+    return (D.winnow_near_dups(aug, k=4, w=5, min_shared=1)
+            .orderBy("a", "b"))
+
+
+def _oracle_winnow_near_dups() -> str:
+    # Same 60-bit md5 gram hashes, the same w-window minima via a
+    # bounded-following window frame, whole-bucket cap, pair count.
+    return """
+WITH aug AS (
+  SELECT d.doc_id,
+         CASE WHEN t.doc_id IS NOT NULL THEN d.text || ' ' || t.text
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN documents t
+    ON d.doc_id % 17 = 3 AND t.doc_id = 50 * (d.doc_id % 3)),
+base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+g AS (SELECT doc_id, i,
+        CAST(concat('0x', substr(md5(array_to_string(
+             list_slice(ws, i, i + 3), ' ')), 1, 15)) AS BIGINT) AS h,
+        len(ws) - 4 + 1 AS m
+      FROM base, LATERAL (SELECT unnest(generate_series(
+                          1, len(ws) - 4 + 1)) AS i) u),
+mins AS (SELECT doc_id, i, m,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wm
+      FROM g),
+fps AS (SELECT DISTINCT doc_id AS id, wm AS fp FROM mins
+        WHERE i <= m - 5 + 1),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000),
+cap AS (SELECT f.id, f.fp FROM fps f JOIN ok USING (fp)),
+pairs AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS n_shared
+          FROM cap x JOIN cap y ON x.fp = y.fp AND x.id < y.id
+          GROUP BY x.id, y.id)
+SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= 1 ORDER BY a, b
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope (text.zipf_slope): log-log least
+    squares over the vocabulary head, fully integer until the final
+    rounded division.  The four regression sums pin every rank, every
+    millinat quantization, and the (count DESC, word) tie-break; the
+    slope pins the division."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.zipf_slope(docs, top_n=1000)
+
+
+def _oracle_zipf_slope() -> str:
+    return """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+c AS (SELECT wd, COUNT(*) AS n FROM w GROUP BY wd),
+top AS (SELECT wd, n FROM c ORDER BY n DESC, wd LIMIT 1000),
+rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, wd) AS r FROM top),
+q AS (SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM rk),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q)
+SELECT nf AS n_types, sx, sy, sxy, sxx,
+       ROUND(CAST(nf * sxy - sx * sy AS DOUBLE)
+             / (nf * sxx - sx * sx), 6) AS slope
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3689,6 +3821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "zipf_slope": q_zipf_slope,
+        "winnow_near_dups": q_winnow_near_dups,
+        "sq8_quantize": q_sq8_quantize,
         "bigram_backoff": q_bigram_backoff,
         "quality_calibrate_by": q_quality_calibrate_by,
         "dedup_inner_lines": q_dedup_inner_lines,
@@ -3776,6 +3911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zipf_slope": _oracle_zipf_slope(),
+        "winnow_near_dups": _oracle_winnow_near_dups(),
+        "sq8_quantize": _oracle_sq8_quantize(),
         "bigram_backoff": _oracle_bigram_backoff(),
         "quality_calibrate_by": _oracle_quality_calibrate_by(),
         "dedup_inner_lines": _oracle_dedup_inner_lines(),

@@ -414,7 +414,8 @@ def main() -> None:
              # stratified calibration, within-doc line dedup, mixture
              # solver
              "quality_calibrate_by", "dedup_inner_lines", "mix_ratios",
-             "bigram_backoff")
+             "bigram_backoff", "sq8_quantize", "winnow_near_dups",
+             "zipf_slope")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

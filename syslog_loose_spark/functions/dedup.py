@@ -689,3 +689,74 @@ def dedup_incremental(new_docs: DataFrame, seen_docs: DataFrame,
     content_fingerprints and call the _fp variant directly."""
     return dedup_incremental_fp(
         new_docs, content_fingerprints(seen_docs, text_col), text_col)
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every word k-gram to a 60-bit md5-derived
+    integer, slide a w-wide window over the hash sequence, keep each
+    window's MINIMUM; the distinct minima are the document's
+    fingerprint set.  The paper's guarantee: any shared token run of
+    length >= w + k - 1 between two documents shares at least one
+    selected fingerprint — POSITION-ROBUST local sampling, unlike
+    MinHash (one global sketch) or SimHash (one global vote): a copied
+    paragraph inside an otherwise different document still collides.
+
+    Scale shape: gram hashing, the sliding minima, and the distinct
+    all happen in ONE per-row expression chain (no shuffle, no
+    Python); only the exploded (id, fp) output is relational, and
+    winnowing's density bound (~2/(w+1) of positions selected) makes
+    that stream a fraction of the token stream.  Docs shorter than
+    k + w - 1 tokens produce no fingerprints (explode drops them) —
+    too short for the guarantee to mean anything.
+
+    Returns (id, fp), distinct per document."""
+    k, w = int(k), int(w)
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.split(F.col(text_col), " ").alias("ws"))
+    # explicit empty-array guards: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0] (not empty), whose 0 would crash slice()
+    hs = F.expr(
+        f"case when size(ws) >= {k} then"
+        f" transform(sequence(1, size(ws) - {k} + 1),"
+        f" i -> cast(conv(substr(md5(array_join(slice(ws, i, {k}),"
+        f" ' ')), 1, 15), 16, 10) as bigint))"
+        f" else array() end")
+    mins = F.expr(
+        f"case when size(hs) >= {w} then"
+        f" array_distinct(transform(sequence(1, size(hs) - {w} + 1),"
+        f" j -> array_min(slice(hs, j, {w}))))"
+        f" else cast(array() as array<bigint>) end")
+    return (staged.select("id", hs.alias("hs"))
+            .select("id", F.explode(mins).alias("fp")))
+
+
+def winnow_near_dups(df: DataFrame, k: int = 4, w: int = 5,
+                     min_shared: int = 2, max_bucket_size: int = 1000,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs by SHARED winnowed fingerprints — the
+    copied-passage detector: pair weight n_shared counts distinct
+    fingerprints two documents have in common, so a lifted paragraph
+    of >= w + k - 1 tokens forces n_shared >= 1 and longer copies
+    scale it up.
+
+    Scale shape: bucket-equality self-join on the fingerprint value,
+    capped with cap_buckets (degenerate fingerprints shared by
+    thousands of docs — empty-ish text — would re-square the join;
+    dropping whole oversized buckets is deterministic and
+    oracle-replicable); the fingerprint relation persists through the
+    bounded registry (cap agg + both join sides read it).  Returns
+    (a, b, n_shared) with n_shared >= min_shared."""
+    fps = _track(winnow_fingerprints(df, k=k, w=w, text_col=text_col,
+                                     id_col=id_col))
+    capped = cap_buckets(fps, ["fp"], max_bucket_size)
+    return (capped.alias("x").join(capped.alias("y"), "fp")
+            .where(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= int(min_shared))
+            .select("a", "b", F.col("n_shared").cast("long")
+                    .alias("n_shared")))

@@ -761,3 +761,58 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                     F.col("cell").cast("long").alias("cell"),
                     F.when(F.col("dropped").isNull(), F.lit(1))
                      .otherwise(F.lit(0)).cast("long").alias("kept")))
+
+
+def sq8_quantize(corpus: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """FAISS-style SQ8 scalar quantization: per-dimension corpus
+    [min, max] ranges map each float to one 8-bit code — the 4x memory
+    cut (float32 -> uint8) that makes billion-vector indexes fit in
+    RAM, and the simplest member of the quantizer family PQ extends.
+
+    Two-pass by construction (the IVF-build shape): pass 1 is ONE
+    per-dimension min/max hash aggregation (map-side partial — the
+    shuffle carries dim-count rows) whose result packs into a single
+    broadcast row; pass 2 encodes every vector with a pure per-row
+    expression — no corpus shuffle anywhere.
+
+    Determinism contract: code_i = ROUND((x_i - mn_i) * 255.0 /
+    (mx_i - mn_i)) — each binary float op is IEEE-correctly-rounded,
+    hence bit-identical on JVM and DuckDB, and ROUND ties (half-up vs
+    half-away) agree because the operand is non-negative; a constant
+    dimension (mx = mn) codes 0.  The reconstruction error
+    |x - x_hat| quantizes per TERM to integer MICROUNITS before the
+    order-insensitive integer sum (the millinat rule applied to
+    floats).  Returns (id, codes array<int>, sum_abs_err_um)."""
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    stats_one = (corpus.select(F.posexplode(v).alias("pos", "x"))
+                 .groupBy("pos")
+                 .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+                 .groupBy()
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "mn", "mx"))).alias("st"))
+                 .select(F.expr("transform(st, s -> s.mn)").alias("mns"),
+                         F.expr("transform(st, s -> s.mx)").alias("mxs")))
+    enc = (corpus.crossJoin(F.broadcast(stats_one))
+           .select(F.col(id_col), v.alias("v"), "mns", "mxs"))
+    codes = F.expr(
+        "transform(v, (x, i) -> CASE"
+        " WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0"
+        " ELSE cast(round((x - element_at(mns, i + 1)) * 255.0D"
+        "      / (element_at(mxs, i + 1) - element_at(mns, i + 1)))"
+        "      as int) END)")
+    err_terms = F.expr(
+        "transform(v, (x, i) -> CASE"
+        " WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)"
+        " THEN cast(round(abs(x - element_at(mns, i + 1)) * 1000000.0D)"
+        "      as bigint)"
+        " ELSE cast(round(abs(x - (element_at(mns, i + 1)"
+        "      + round((x - element_at(mns, i + 1)) * 255.0D"
+        "        / (element_at(mxs, i + 1) - element_at(mns, i + 1)))"
+        "      * (element_at(mxs, i + 1) - element_at(mns, i + 1))"
+        "      / 255.0D)) * 1000000.0D) as bigint) END)")
+    return enc.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.aggregate(err_terms, F.lit(0).cast("long"),
+                    lambda acc, e: acc + e).alias("sum_abs_err_um"))

@@ -1191,3 +1191,51 @@ def bigram_backoff_logprob(df, min_count: int = 2,
                     F.round((F.col("mn_first")
                              + F.coalesce(F.col("s_bg"), F.lit(0)))
                             / F.col("n_tokens"), 4).alias("mean_mn")))
+
+
+def zipf_slope(df, top_n: int = 1000, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    ln(frequency) against ln(rank) over the top ``top_n`` vocabulary
+    head — the one-number corpus-health check (natural language sits
+    near -1, Zipf 1949; templated/synthetic corpora flatten toward 0,
+    boilerplate-dominated crawls steepen past it), read before and
+    after a curation pass to see whether filtering distorted the
+    distribution.
+
+    Determinism contract: ONE ln per rank and one per frequency value,
+    each quantized to integer millinats; every regression sum
+    (Σx, Σy, Σxy, Σx²) is then pure integer, and the slope is a single
+    rounded division of two exactly-representable integers (< 2^53 for
+    any top_n <= 10^4).  Ranks tie-break (count DESC, word ASC).
+
+    Scale shape: one corpus-word hash agg (map-side partial), a
+    TakeOrdered(top_n) partial top-k — never a global vocabulary sort
+    — and a single-partition window over the <= top_n surviving rows
+    (bounded by construction).  Returns ONE row
+    (n_types, sx, sy, sxy, sxx, slope)."""
+    from pyspark.sql import Window
+
+    uni = (df.select(F.explode(words(F.col(text_col))).alias("wd"))
+           .groupBy("wd").agg(F.count(F.lit(1)).alias("n")))
+    top = uni.orderBy(F.desc("n"), "wd").limit(int(top_n))
+    rk = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), "wd")))
+    q = rk.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000)
+         .cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1000)
+         .cast("long").alias("y"))
+    agg = q.agg(F.count(F.lit(1)).alias("nf"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return agg.select(
+        F.col("nf").cast("long").alias("n_types"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.round((F.col("nf") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("nf") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6).alias("slope"))

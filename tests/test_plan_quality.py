@@ -535,3 +535,49 @@ def test_bigram_backoff_no_forced_broadcast_on_model_joins(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert default == fallback
+
+
+def test_sq8_stats_broadcast_encode_pure_map(spark):
+    """sq8_quantize: pass 1 aggregates per-dimension stats into ONE
+    broadcast row; pass 2 is a pure per-row encode — the only joins are
+    the broadcast, there is no corpus-keyed shuffle join and no
+    Python."""
+    from syslog_loose_spark.functions.similarity import sq8_quantize
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    plan = _plan(sq8_quantize(emb))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+
+
+def test_winnow_selection_pure_map_join_capped(spark):
+    """winnow_near_dups: fingerprint selection is a per-row expression
+    (no Python), the fingerprint relation is cached once and read by
+    the cap aggregate and both join sides (InMemoryTableScan >= 2)."""
+    from syslog_loose_spark.functions.dedup import (
+        unpersist_tracked, winnow_near_dups)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(80)
+    try:
+        plan = _plan(winnow_near_dups(docs))
+        assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, \
+            plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        unpersist_tracked()
+
+
+def test_zipf_slope_partial_topk_no_global_sort(spark):
+    """zipf_slope's vocabulary head comes from TakeOrdered (partial
+    top-k), never a full vocabulary sort; the only window runs over the
+    <= top_n surviving rows."""
+    from syslog_loose_spark.functions.text import zipf_slope
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    plan = _plan(zipf_slope(docs, top_n=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan

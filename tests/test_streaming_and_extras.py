@@ -1995,3 +1995,186 @@ def test_bigram_backoff_matches_python_reference(spark):
     assert got == exp
     assert any(v[1] == 0 for v in exp.values())   # backoff-only doc
     assert any(v[1] >= 3 for v in exp.values())   # hit-heavy doc
+
+
+def test_sq8_quantize_matches_python_replay(spark):
+    """Exact replay of the SQ8 contract in pure Python (IEEE doubles,
+    same op order): codes, the in-range invariant, the constant-
+    dimension zero-code path, and the microunit error sum."""
+    rows = [(i, [float(i % 7) - 3.0, 0.5, float((i * 3) % 11)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    from syslog_loose_spark.functions.similarity import sq8_quantize
+
+    got = {r["vec_id"]: (list(r["codes"]), r["sum_abs_err_um"])
+           for r in sq8_quantize(df).collect()}
+
+    import math
+
+    def rnd(x):
+        # engine ROUND is half-UP for the non-negative operand; Python's
+        # round() is half-even and would diverge on exact .5 codes
+        return int(math.floor(x + 0.5))
+
+    vecs = {i: v for i, v in rows}
+    dims = len(rows[0][1])
+    mn = [min(v[j] for v in vecs.values()) for j in range(dims)]
+    mx = [max(v[j] for v in vecs.values()) for j in range(dims)]
+    exp = {}
+    for i, v in vecs.items():
+        codes, err = [], 0
+        for j in range(dims):
+            if mx[j] == mn[j]:
+                codes.append(0)
+                err += rnd(abs(v[j] - mn[j]) * 1000000.0)
+            else:
+                c = rnd((v[j] - mn[j]) * 255.0 / (mx[j] - mn[j]))
+                codes.append(c)
+                xhat = mn[j] + c * (mx[j] - mn[j]) / 255.0
+                err += rnd(abs(v[j] - xhat) * 1000000.0)
+        exp[i] = (codes, err)
+    assert got == exp
+    assert all(0 <= c <= 255 for cs, _ in got.values() for c in cs)
+    assert all(cs[1] == 0 for cs, _ in got.values())  # constant dim
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w + k - 1
+    tokens share at least one fingerprint — even when the copied
+    passage sits inside otherwise DIFFERENT documents (the case a
+    global MinHash sketch is allowed to miss).  Also: the paper's
+    density bound (roughly 2/(w+1) of positions selected, here checked
+    loosely) and the short-doc exclusion."""
+    from syslog_loose_spark.functions.dedup import (
+        unpersist_tracked, winnow_fingerprints, winnow_near_dups)
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "one two three " + passage + " four five six"),
+        (2, "seven eight nine ten " + passage + " eleven"),
+        (3, "totally unrelated words here nothing shared at all"),
+        (4, "tiny doc"),  # < k + w - 1 tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    try:
+        pairs = {(r["a"], r["b"]): r["n_shared"]
+                 for r in winnow_near_dups(df, k=4, w=5,
+                                           min_shared=1).collect()}
+        assert (1, 2) in pairs          # the guarantee
+        assert not any(3 in p or 4 in p for p in pairs), pairs
+
+        fps = winnow_fingerprints(df, k=4, w=5).collect()
+        n1 = sum(1 for r in fps if r["id"] == 1)
+        n_grams_1 = len(rows[0][1].split(" ")) - 4 + 1
+        assert 1 <= n1 <= n_grams_1  # distinct minima, far below grams
+        assert not any(r["id"] == 4 for r in fps)
+    finally:
+        unpersist_tracked()
+
+
+def test_winnow_bucket_cap_drops_degenerate(spark):
+    """A fingerprint shared by more docs than max_bucket_size drops
+    WHOLE (no partial bucket), so the degenerate all-pairs blowup
+    never reaches the join; distinct content is unaffected."""
+    from syslog_loose_spark.functions.dedup import (
+        unpersist_tracked, winnow_near_dups)
+
+    same = "a b c d e f g h i j"
+    rows = [(i, same) for i in range(20)]
+    rows += [(100, "p q r s t u v w x y z " + same),
+             (101, "pp qq rr ss tt uu vv ww xx yy zz " + same)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    try:
+        pairs = {(r["a"], r["b"])
+                 for r in winnow_near_dups(df, k=4, w=5, min_shared=1,
+                                           max_bucket_size=10).collect()}
+        # the 20 identical docs share every fingerprint -> buckets of
+        # >= 20 > 10 -> dropped whole; no pair among them survives, and
+        # none of them pairs with 100/101 either
+        assert not any(a < 20 or b < 20 for a, b in pairs), pairs
+        # 100/101 still pair: their differing prefixes shift the window
+        # minima, selecting passage grams the identical docs did NOT
+        # select — those fingerprints live in a size-2 bucket, so the
+        # cap cannot (and should not) sever a genuinely shared run
+        assert pairs == {(100, 101)}, pairs
+    finally:
+        unpersist_tracked()
+
+
+def test_zipf_slope_hand_computed(spark):
+    """Integer-regression replay on a constructed true-Zipf profile:
+    counts 840/420/280/210 are exactly 840/r over ranks 1..4, so
+    ln(freq) = ln(840) - ln(rank) and the quantized slope must land at
+    -1 within quantization distance; the four sums replay exactly."""
+    import math
+
+    from syslog_loose_spark.functions.text import zipf_slope
+
+    docs = []
+    did = 0
+    for w, c in (("w1", 840), ("w2", 420), ("w3", 280), ("w4", 210)):
+        docs.append((did, " ".join([w] * c)))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    row = zipf_slope(df, top_n=1000).collect()[0]
+
+    mn = lambda v: int(round(math.log(v) * 1000))
+    xs = [mn(r) for r in (1, 2, 3, 4)]
+    ys = [mn(c) for c in (840, 420, 280, 210)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    exp_slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert (row["n_types"], row["sx"], row["sy"], row["sxy"],
+            row["sxx"]) == (n, sx, sy, sxy, sxx)
+    assert row["slope"] == exp_slope
+    assert -1.05 < row["slope"] < -0.95  # halving counts per rank ~ -1
+
+
+def test_jsonl_ingest_dead_letters_corrupt_lines(spark, tmp_path):
+    """JSONL ingestion: well-formed lines land in `good` with the
+    caller's exact schema; truncated/garbage lines land whole in the
+    dead-letter frame (raw text intact — the untrimmed-input fallback
+    contract); nothing is dropped."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from syslog_loose_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world"}',
+        '{"doc_id": 2, "text": "ok"}',
+        '{"doc_id": 3, "text": "truncat',          # cut mid-string
+        'not json at all',
+        '{"doc_id": 4, "text": "fine again"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    good, dead = read_jsonl(spark, str(p), schema)
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    d = sorted(r["raw"] for r in dead.collect())
+    assert g == {1: "hello world", 2: "ok", 4: "fine again"}
+    assert d == sorted([lines[2], lines[3]])
+    assert good.columns == ["doc_id", "text"]  # corrupt col pruned
+
+
+def test_csv_ingest_dead_letters_bad_typed_fields(spark, tmp_path):
+    """CSV ingestion: a row whose typed field fails to parse dead-
+    letters with its raw text; clean rows keep their types."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from syslog_loose_spark.sources.jsonl import read_csv_logs
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha\nnot_a_number,beta\n3,gamma\n")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType())])
+    good, dead = read_csv_logs(spark, str(p), schema)
+    g = {r["id"]: r["name"] for r in good.collect()}
+    d = [r["raw"] for r in dead.collect()]
+    assert g == {1: "alpha", 3: "gamma"}
+    assert d == ["not_a_number,beta"]
