@@ -3631,6 +3631,67 @@ FROM s
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.asof_join): every click
+    event picks the latest error event of the same user at or before
+    it — the union + running-last window implementation (ONE keyed
+    shuffle, never a non-equi join) vs DuckDB's NATIVE ASOF LEFT JOIN
+    as the oracle.  Unmatched clicks keep NULL reference columns."""
+    from syslog_loose_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    return (asof_join(clicks, errors, on="ts", by=("user_id",),
+                      right_cols=("event_id", "value"), prefix="ref_")
+            .select("event_id", "user_id", "ref_event_id",
+                    F.round(F.col("ref_value"), 6).alias("ref_value"))
+            .orderBy("event_id"))
+
+
+def _oracle_asof_join() -> str:
+    return """
+SELECT l.event_id, l.user_id, r.event_id AS ref_event_id,
+       ROUND(r.value, 6) AS ref_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/joins.range_join_binned): clicks
+    falling inside any [error, error + 60 min] maintenance window of
+    the same user, matched by (key, time-bin) EQUI-join + exact
+    containment filter — never the broadcast-nested-loop plan a raw
+    BETWEEN join degenerates to.  Oracle: the plain inequality join."""
+    from syslog_loose_spark.operators.joins import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    iv = (ev.where(F.col("event_type") == "error")
+          .select(F.col("event_id").alias("window_id"), "user_id",
+                  F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 60 MINUTES"))
+                  .alias("end")))
+    return (range_join_binned(clicks, iv, on="ts", by=("user_id",),
+                              bin_seconds=3600)
+            .select("event_id", "user_id", "window_id")
+            .orderBy("event_id", "window_id"))
+
+
+def _oracle_range_join() -> str:
+    return """
+SELECT l.event_id, l.user_id, r.event_id AS window_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+  AND l.ts <= r.ts + INTERVAL 60 MINUTE
+ORDER BY l.event_id, r.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3821,6 +3882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "zipf_slope": q_zipf_slope,
         "winnow_near_dups": q_winnow_near_dups,
         "sq8_quantize": q_sq8_quantize,
@@ -3911,6 +3974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_join": _oracle_asof_join(),
+        "range_join": _oracle_range_join(),
         "zipf_slope": _oracle_zipf_slope(),
         "winnow_near_dups": _oracle_winnow_near_dups(),
         "sq8_quantize": _oracle_sq8_quantize(),

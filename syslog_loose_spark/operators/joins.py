@@ -1,0 +1,94 @@
+"""Time-series join operators Spark lacks as built-ins: as-of join and
+range (interval-containment) join.
+
+Both are expressed as compositions of shuffle+window / equi-join
+primitives so Catalyst keeps optimizing around them — never a non-equi
+join (which Spark plans as a broadcast nested loop or cartesian: a
+scale-killer) and never a per-row subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by=("user_id",), right_cols=("event_id", "value"),
+              prefix: str = "ref_", tolerance: int | None = None
+              ) -> DataFrame:
+    """Backward as-of join: every left row picks the LATEST right row of
+    the same ``by`` key with right.on <= left.on (pandas merge_asof /
+    DuckDB ASOF JOIN semantics, equality included) — the canonical
+    "state at event time" lookup (most recent config push before each
+    request, last error before each click, latest quote before each
+    trade).  ``tolerance`` (seconds) voids matches older than the
+    lookback window, like merge_asof's.
+
+    Implementation — union + running last, NOT a join: right rows are
+    tagged and unioned with the left stream, both sorted per key by
+    (time, right-first-on-ties); a running ``last(payload,
+    ignorenulls)`` window then carries the newest right payload forward
+    onto every left row.  ONE hash shuffle on the by-key plus a
+    per-partition sort — the same cost as any time-series window — vs
+    the non-equi-join formulation Spark would plan as a broadcast
+    nested loop.  Hot keys concentrate in single tasks exactly as any
+    keyed window does (salt upstream if one key dominates).
+
+    Right-side (key, time) duplicates are matched arbitrarily —
+    identical to DuckDB ASOF JOIN, which leaves that tie unspecified;
+    keep reference streams tie-free per key.  Unmatched left rows keep
+    NULL right columns (left-join semantics).  Returns every left
+    column plus ``prefix``-ed right_cols."""
+    by = list(by)
+    payload = F.struct(F.col(on).alias("_mts"),
+                       *[F.col(c).alias(c) for c in right_cols])
+    rt = right.select(*by, F.col(on).alias(on), payload.alias("_ap"),
+                      F.lit(1).alias("_ir"))
+    lt = (left.withColumn("_ap",
+                          F.lit(None).cast(rt.schema["_ap"].dataType))
+          .withColumn("_ir", F.lit(0)))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(on).asc(), F.col("_ir").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    m = u.withColumn("_m", F.last("_ap", ignorenulls=True).over(w))
+    out = m.where(F.col("_ir") == 0)
+    if tolerance is not None:
+        ok = (F.col("_m._mts")
+              >= F.col(on) - F.expr(f"INTERVAL {int(tolerance)} SECONDS"))
+        out = out.withColumn("_m", F.when(ok, F.col("_m")))
+    return out.select(*[F.col(c) for c in left.columns],
+                      *[F.col(f"_m.{c}").alias(prefix + c)
+                        for c in right_cols])
+
+
+def range_join_binned(left: DataFrame, intervals: DataFrame,
+                      on: str = "ts", by=("user_id",),
+                      start_col: str = "start", end_col: str = "end",
+                      bin_seconds: int = 600) -> DataFrame:
+    """Interval-containment join (left.on in [start, end], same ``by``
+    key) via time-bin bucketing: intervals explode to the bins they
+    cover, left rows compute their single bin, and the match is an
+    EQUI-join on (key, bin) refined by the exact containment filter —
+    so Spark plans a hash join whose candidate set is only the rows
+    sharing a time bucket, instead of the broadcast-nested-loop plan a
+    raw ``BETWEEN`` join degenerates to.
+
+    ``bin_seconds`` trades explode fan-out (long intervals cover
+    length/bin bins) against join selectivity (short bins = fewer
+    false candidates); set it near the TYPICAL interval length.  Each
+    left row owns exactly one bin and an interval covers each of its
+    bins once, so matches are emitted exactly once — no distinct
+    needed.  Inner-join semantics: unmatched left rows drop.  Returns
+    left columns + interval columns."""
+    b = int(bin_seconds)
+    li = left.withColumn(
+        "_bin", (F.unix_timestamp(F.col(on)) / b).cast("long"))
+    iv = (intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+            (F.unix_timestamp(F.col(end_col)) / b).cast("long")))))
+    return (li.join(iv, [*by, "_bin"])
+            .where((F.col(on) >= F.col(start_col))
+                   & (F.col(on) <= F.col(end_col)))
+            .drop("_bin"))

@@ -581,3 +581,43 @@ def test_zipf_slope_partial_topk_no_global_sort(spark):
     plan = _plan(zipf_slope(docs, top_n=50))
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark):
+    """asof_join must plan as union -> ONE keyed exchange -> window,
+    never the BroadcastNestedLoopJoin a non-equi formulation produces;
+    no Python anywhere."""
+    from pyspark.sql import functions as F2
+    from syslog_loose_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = asof_join(ev.where(F2.col("event_type") == "click"),
+                   ev.where(F2.col("event_type") == "error"))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # key hash (+AQE read)
+    assert "Window" in plan, plan
+    assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, plan
+
+
+def test_range_join_binned_hash_join_not_nested_loop(spark):
+    """range_join_binned must plan as a HASH equi-join on (key, bin)
+    with the containment predicate as a post-filter — the raw BETWEEN
+    formulation would be a BroadcastNestedLoopJoin."""
+    from pyspark.sql import functions as F2
+    from syslog_loose_spark.operators.joins import range_join_binned
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = (ev.where(F2.col("event_type") == "error")
+          .select(F2.col("event_id").alias("window_id"), "user_id",
+                  F2.col("ts").alias("start"),
+                  (F2.col("ts") + F2.expr("INTERVAL 60 MINUTES"))
+                  .alias("end")))
+    plan = _plan(range_join_binned(
+        ev.where(F2.col("event_type") == "click"), iv,
+        bin_seconds=3600))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan

@@ -2178,3 +2178,67 @@ def test_csv_ingest_dead_letters_bad_typed_fields(spark, tmp_path):
     d = [r["raw"] for r in dead.collect()]
     assert g == {1: "alpha", 3: "gamma"}
     assert d == ["not_a_number,beta"]
+
+
+def test_asof_join_semantics_and_tolerance(spark):
+    """Hand-checked as-of contract: latest right row at-or-before each
+    left row per key; equality on the timestamp matches; keys with no
+    earlier right row get NULLs; tolerance voids stale matches."""
+    import datetime as dt
+
+    from syslog_loose_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), 7), (2, ts(30), 7), (3, ts(5), 8), (4, ts(50), 9)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(
+        [(100, ts(10), 7, 1.5), (101, ts(20), 7, 2.5),
+         (102, ts(6), 8, 3.5)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+    out = {r["event_id"]: (r["ref_event_id"], r["ref_value"])
+           for r in asof_join(left, right, right_cols=("event_id",
+                                                       "value"))
+           .collect()}
+    assert out == {1: (100, 1.5),    # equality matches
+                   2: (101, 2.5),    # latest of the two earlier rows
+                   3: (None, None),  # right row is LATER -> no match
+                   4: (None, None)}  # key has no right rows
+
+    tol = {r["event_id"]: r["ref_event_id"]
+           for r in asof_join(left, right, right_cols=("event_id",),
+                              tolerance=300).collect()}
+    assert tol == {1: 100, 2: None, 3: None, 4: None}  # 2: 10min stale
+
+
+def test_range_join_binned_matches_plain_inequality(spark):
+    """The binned equi-join + containment filter returns exactly the
+    rows a plain BETWEEN join would, including intervals that span
+    multiple bins (no duplicate emission) and bin-boundary events."""
+    import datetime as dt
+
+    from syslog_loose_spark.operators.joins import range_join_binned
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, ts(5), 7), (2, ts(25), 7), (3, ts(61), 7), (4, ts(10), 8)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG")
+    iv = spark.createDataFrame(
+        [(900, ts(0), ts(30), 7),     # spans 4 bins at 600 s
+         (901, ts(60), ts(62), 7),
+         (902, ts(0), ts(5), 9)],
+        "window_id LONG, start TIMESTAMP, end TIMESTAMP, user_id LONG")
+    got = sorted((r["event_id"], r["window_id"])
+                 for r in range_join_binned(left, iv, bin_seconds=600)
+                 .collect())
+    assert got == [(1, 900), (2, 900), (3, 901)]
+    # duplicate-free even though window 900 covers several bins
+    assert len(got) == len(set(got))
