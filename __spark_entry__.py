@@ -3692,6 +3692,50 @@ ORDER BY l.event_id, r.event_id
 """
 
 
+def q_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted selection (text.token_budget_cut): keep the
+    best-scoring docs until they hold 50% of corpus TOKENS — the
+    token-mass histogram walk, distinct from the doc-count walk
+    whenever length correlates with quality.  Pins the per-bin token
+    sums, the cumulative walk, and the integer budget ceil."""
+    docs = _t(spark, sf_dir, "documents")
+    return (T.token_budget_cut(docs, budget_ppm=500_000)
+            .orderBy("doc_id"))
+
+
+def _oracle_token_budget_cut() -> str:
+    return """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+freq AS (SELECT wd, COUNT(*) AS c FROM w GROUP BY wd),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freq),
+lp AS (SELECT wd,
+              CAST(ROUND(LN(CAST(c AS DOUBLE) / total) * 1000) AS BIGINT)
+                AS mn
+       FROM freq, tot),
+per AS (SELECT doc_id, COUNT(*) AS n_words, SUM(mn) AS sum_mn
+        FROM w JOIN lp USING (wd) GROUP BY doc_id),
+scored AS (SELECT doc_id, n_words,
+                  CAST((sum_mn - ((sum_mn % n_words) + n_words) % n_words)
+                       / n_words AS BIGINT) AS score
+           FROM per),
+hist AS (SELECT score, SUM(n_words) AS toks FROM scored GROUP BY score),
+tt AS (SELECT SUM(n_words) AS t FROM scored),
+cum AS (SELECT score,
+               SUM(toks) OVER (ORDER BY score DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM hist),
+thr AS (SELECT MAX(score) AS thr FROM cum, tt
+        WHERE 1000000 * cum >= 500000 * t)
+SELECT s.doc_id, s.score, CAST(s.n_words AS BIGINT) AS n_words,
+       CAST(CASE WHEN s.score >= th.thr THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM scored s CROSS JOIN thr th
+ORDER BY s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3882,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "token_budget_cut": q_token_budget_cut,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "zipf_slope": q_zipf_slope,
@@ -3974,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_budget_cut": _oracle_token_budget_cut(),
         "asof_join": _oracle_asof_join(),
         "range_join": _oracle_range_join(),
         "zipf_slope": _oracle_zipf_slope(),

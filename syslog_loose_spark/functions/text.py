@@ -1239,3 +1239,49 @@ def zipf_slope(df, top_n: int = 1000, text_col: str = "text",
         F.round((F.col("nf") * F.col("sxy") - F.col("sx") * F.col("sy"))
                 / (F.col("nf") * F.col("sxx") - F.col("sx") * F.col("sx")),
                 6).alias("slope"))
+
+
+def token_budget_cut(df, budget_ppm: int = 500_000,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Token-budgeted quality selection: keep the highest-scoring
+    documents until they hold ``budget_ppm`` parts-per-million of the
+    CORPUS'S TOKENS — the data-constrained-training cut ("we can
+    afford to train on half our tokens: take the best half"), which is
+    NOT the same as keeping the best half of documents
+    (calibrated_quality_cut): short high-quality docs are cheap, long
+    mediocre ones expensive, so the doc-count and token-count
+    thresholds differ whenever length correlates with quality.
+
+    Same bounded-histogram shape as calibrated_quality_cut — no global
+    sort at any scale — except each score bin aggregates its TOKEN
+    mass: T = max score s with  sum(n_words | score >= s) >=
+    ceil(budget_ppm * total_tokens / 1e6); ties at T overshoot the
+    budget, never undershoot.  Scores are the integer mean-surprisal
+    millinats (one ln per vocabulary type).  Returns
+    (id, score, n_words, kept) for ALL docs."""
+    from pyspark.sql import Window
+
+    from .dedup import _track
+
+    scored = _track(
+        unigram_logprob_stats(df, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("id"),
+                F.col("n_words"),
+                _floor_div(F.col("sum_logprob_mn"),
+                           F.col("n_words")).alias("score")))
+    hist = (scored.groupBy("score")
+            .agg(F.sum("n_words").alias("toks")))
+    total = scored.agg(F.sum("n_words").alias("t"))
+    cum = (hist.crossJoin(F.broadcast(total))
+           .withColumn("cum", F.sum("toks").over(
+               Window.orderBy(F.desc("score"))
+               .rowsBetween(Window.unboundedPreceding, 0))))
+    thr = (cum.where(F.lit(1_000_000) * F.col("cum")
+                     >= F.lit(int(budget_ppm)) * F.col("t"))
+           .agg(F.max("score").alias("thr")))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(F.col("id").alias(id_col),
+                    F.col("score"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    (F.col("score") >= F.col("thr"))
+                    .cast("long").alias("kept")))

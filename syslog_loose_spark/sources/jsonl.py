@@ -22,6 +22,12 @@ multiLine JSON file, which is ONE task no matter its size.
 The schema is REQUIRED, never inferred: inference is a full extra pass
 (Spark reads every file twice) and a correctness hazard (a first shard
 of all-null columns infers string).
+
+Consuming BOTH frames materializes the text scan twice (each frame is
+an independent plan).  Dead-letter rates are tiny, so the second scan
+is cheap relative to caching the whole parse — but a caller writing
+both outputs in one job should persist ``parsed`` (or checkpoint the
+good frame) if the input will not be re-readable.
 """
 
 from __future__ import annotations

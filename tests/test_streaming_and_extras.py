@@ -2242,3 +2242,38 @@ def test_range_join_binned_matches_plain_inequality(spark):
     assert got == [(1, 900), (2, 900), (3, 901)]
     # duplicate-free even though window 900 covers several bins
     assert len(got) == len(set(got))
+
+
+def test_token_budget_cut_contract(spark):
+    """Token-mass threshold contract: the kept set holds >= budget_ppm
+    of corpus TOKENS (ties overshoot, never undershoot), dropping the
+    threshold bin would undershoot, and on a corpus where quality
+    anti-correlates with length the doc-count cut and the token cut
+    genuinely disagree."""
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.text import (
+        calibrated_quality_cut, token_budget_cut)
+
+    # 6 short HIGH-quality docs (common vocab) + 2 long LOW-quality
+    rows = [(i, "common common common words") for i in range(6)]
+    rows += [(10 + i, " ".join(f"junk{i}x{j}" for j in range(40)))
+             for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    try:
+        out = token_budget_cut(df, budget_ppm=200_000).collect()
+        doc_cut = {r["doc_id"]: r["kept"]
+                   for r in calibrated_quality_cut(
+                       df, keep_ppm=200_000).collect()}
+    finally:
+        unpersist_tracked()
+    total = sum(r["n_words"] for r in out)
+    kept_toks = sum(r["n_words"] for r in out if r["kept"])
+    assert 1_000_000 * kept_toks >= 200_000 * total
+    # all six short good docs tie at the top score: the token walk must
+    # take the WHOLE tie bin (24 tokens = 23% of 104) and stop there
+    assert {r["doc_id"] for r in out if r["kept"]} == set(range(6))
+    # the doc-count cut at the same ppm keeps the same bin here, but
+    # the two walks diverge in mass: 6/8 docs vs 24/104 tokens —
+    # kept-token share (23%) is far below kept-doc share (75%)
+    assert sum(doc_cut.values()) == 6
+    assert kept_toks * 8 < sum(doc_cut.values()) * total / 2
