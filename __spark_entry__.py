@@ -3551,8 +3551,11 @@ def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     run and must surface with n_shared >= 1.  Pins gram hashing, the
     sliding minima, the bucket cap, and the shared-count aggregation."""
     docs = _t(spark, sf_dir, "documents")
-    tpl = docs.select(F.col("doc_id").alias("tid"),
-                      F.col("text").alias("ttext"))
+    # only 50*(doc_id % 3) in {0, 50, 100} is ever referenced — keep the
+    # broadcast side genuinely bounded, not the whole corpus
+    tpl = (docs.where(F.col("doc_id").isin(0, 50, 100))
+           .select(F.col("doc_id").alias("tid"),
+                   F.col("text").alias("ttext")))
     aug = (docs.withColumn(
         "tid", F.when(F.col("doc_id") % 17 == 3,
                       F.lit(50) * (F.col("doc_id") % 3)))

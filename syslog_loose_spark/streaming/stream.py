@@ -252,3 +252,37 @@ def streaming_dedup(stream_df: DataFrame, key_cols=("doc_id",),
     return (stream_df
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
+def streaming_asof_enrich(events_stream: DataFrame, reference: DataFrame,
+                          out_dir: str, on: str = "ts",
+                          by=("user_id",),
+                          right_cols=("event_id", "value"),
+                          prefix: str = "ref_",
+                          tolerance: int | None = None):
+    """Stream-static as-of enrichment: every streaming event picks the
+    latest STATIC reference row at-or-before its event time — the
+    "state at event time" lookup (latest config push / model version /
+    quote) applied continuously.  foreachBatch reuses the batch
+    asof_join verbatim per micro-batch, which is CORRECT here because
+    the right side is static: a batch's match set depends only on the
+    event's own timestamp, never on other micro-batches — so
+    stream-vs-batch parity holds exactly (tested), unlike windowed
+    aggregates where late data forces watermark semantics.  (A
+    stream-STREAM as-of would need applyInPandasWithState to hold the
+    per-key latest reference; the static case is the common one and
+    needs no state at all.)
+
+    Epoch-scoped output directories give exactly-once-per-epoch replay
+    semantics, same as foreach_batch_writer.  Returns the hook for
+    ``writeStream.foreachBatch``."""
+    from ..operators.joins import asof_join
+
+    def enrich(batch_df: DataFrame, epoch_id: int) -> None:
+        (asof_join(batch_df, reference, on=on, by=by,
+                   right_cols=right_cols, prefix=prefix,
+                   tolerance=tolerance)
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+
+    return enrich

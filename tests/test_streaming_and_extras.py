@@ -2277,3 +2277,89 @@ def test_token_budget_cut_contract(spark):
     # kept-token share (23%) is far below kept-doc share (75%)
     assert sum(doc_cut.values()) == 6
     assert kept_toks * 8 < sum(doc_cut.values()) * total / 2
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Seeded randomized differential against pandas merge_asof
+    (backward, by-key, equality-inclusive) on 400x150 rows across 12
+    keys — plus the tolerance leg.  Right-side (key, ts) ties are
+    dropped up front (both implementations leave that tie
+    unspecified)."""
+    import numpy as np
+    import pandas as pd
+
+    from syslog_loose_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "event_id": np.arange(n_l),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 10 ** 6, n_l), unit="s"),
+        "user_id": rng.integers(0, 12, n_l)})
+    right = pd.DataFrame({
+        "rid": np.arange(1000, 1000 + n_r),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 10 ** 6, n_r), unit="s"),
+        "user_id": rng.integers(0, 12, n_r),
+        "value": rng.random(n_r).round(3)}) \
+        .drop_duplicates(subset=["user_id", "ts"])
+
+    def expected(tolerance=None):
+        kw = {}
+        if tolerance is not None:
+            kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+        m = pd.merge_asof(left.sort_values("ts"),
+                          right.sort_values("ts"),
+                          on="ts", by="user_id", direction="backward",
+                          **kw)
+        return {int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+                for r in m.itertuples()}
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for tol in (None, 86_400):
+        got = {r["event_id"]: r["ref_rid"]
+               for r in asof_join(ldf, rdf, right_cols=("rid",),
+                                  tolerance=tol)
+               .select("event_id", "ref_rid").collect()}
+        assert got == expected(tol), f"tolerance={tol}"
+
+
+def test_streaming_asof_enrich_parity_with_batch(spark, tmp_path):
+    """Stream-static as-of: micro-batching the event stream through
+    foreachBatch asof_join produces EXACTLY the batch asof_join result
+    — parity holds because the reference side is static, so a row's
+    match depends only on its own timestamp."""
+    from pyspark.sql import functions as F2
+
+    from syslog_loose_spark.operators.joins import asof_join
+    from syslog_loose_spark.streaming.stream import streaming_asof_enrich
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.where(F2.col("event_type") == "click")
+    errors = ev.where(F2.col("event_type") == "error")
+
+    src = str(tmp_path / "ev_src")
+    clicks.repartition(4).write.parquet(src)   # 4 files -> 4 batches
+    out = str(tmp_path / "asof_out")
+
+    stream = (spark.readStream.schema(clicks.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(streaming_asof_enrich(stream, errors, out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r["event_id"], r["ref_event_id"])
+                 for r in spark.read.parquet(f"{out}/epoch=*")
+                 .select("event_id", "ref_event_id").collect())
+    exp = sorted((r["event_id"], r["ref_event_id"])
+                 for r in asof_join(clicks, errors)
+                 .select("event_id", "ref_event_id").collect())
+    assert got == exp and len(got) > 0
