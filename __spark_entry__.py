@@ -3739,6 +3739,114 @@ ORDER BY s.doc_id
 """
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-6 curation flow composed end to end in ONE plan:
+    per-source calibrated quality cut (keep ~70% of every stratum) ->
+    winnowing passage-level near-dup drop (higher id of every
+    fingerprint-sharing pair) -> token-budget selection (~60% of
+    surviving tokens) -> per-source kept doc/token counts.  The
+    composition twin of curation_full for the new operator families."""
+    docs = _t(spark, sf_dir, "documents")
+    cut1 = T.calibrated_quality_cut_by(docs, group_col="source",
+                                       keep_ppm=700_000)
+    kept1 = docs.join(cut1.where(F.col("kept") == 1).select("doc_id"),
+                      "doc_id")
+    pairs = D.winnow_near_dups(kept1, k=4, w=5, min_shared=1)
+    kept2 = kept1.join(pairs.select(F.col("b").alias("doc_id"))
+                       .distinct(), "doc_id", "left_anti")
+    cut2 = T.token_budget_cut(kept2, budget_ppm=600_000)
+    final = kept2.join(cut2.where(F.col("kept") == 1).select("doc_id"),
+                       "doc_id")
+    return (final.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(T.token_count(F.col("text"))).cast("long")
+                 .alias("n_tokens"))
+            .orderBy("source"))
+
+
+def _oracle_curation_v2() -> str:
+    # The three stages' oracle CTEs chained verbatim: stratified walk
+    # over the full corpus, winnow over its survivors, token-mass walk
+    # over the dedup survivors.
+    return """
+WITH w1 AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS wd
+            FROM documents),
+f1 AS (SELECT wd, COUNT(*) AS c FROM w1 GROUP BY wd),
+t1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM f1),
+l1 AS (SELECT wd, CAST(ROUND(LN(CAST(c AS DOUBLE) / total) * 1000)
+                       AS BIGINT) AS mn
+       FROM f1, t1),
+p1 AS (SELECT doc_id, source, COUNT(*) AS n_words, SUM(mn) AS sum_mn
+       FROM w1 JOIN l1 USING (wd) GROUP BY doc_id, source),
+s1 AS (SELECT doc_id, source,
+              CAST((sum_mn - ((sum_mn % n_words) + n_words) % n_words)
+                   / n_words AS BIGINT) AS score
+       FROM p1),
+h1 AS (SELECT source, score, COUNT(*) AS c FROM s1
+       GROUP BY source, score),
+n1 AS (SELECT source, COUNT(*) AS n FROM s1 GROUP BY source),
+c1 AS (SELECT h.source, h.score, n.n,
+              SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.score DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+       FROM h1 h JOIN n1 n ON h.source = n.source),
+th1 AS (SELECT source, MAX(score) AS thr FROM c1
+        WHERE 1000000 * cum >= 700000 * n GROUP BY source),
+k1 AS (SELECT d.doc_id, d.source, d.text
+       FROM documents d
+       JOIN s1 ON d.doc_id = s1.doc_id
+       JOIN th1 ON s1.source = th1.source AND s1.score >= th1.thr),
+wb AS (SELECT doc_id, string_split(text, ' ') AS ws FROM k1),
+wg AS (SELECT doc_id, i,
+              CAST(concat('0x', substr(md5(array_to_string(
+                   list_slice(ws, i, i + 3), ' ')), 1, 15)) AS BIGINT)
+                AS h,
+              len(ws) - 4 + 1 AS m
+       FROM wb, LATERAL (SELECT unnest(generate_series(
+                         1, len(ws) - 4 + 1)) AS i) u),
+wm AS (SELECT doc_id, i, m,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                AS wmn
+       FROM wg),
+wf AS (SELECT DISTINCT doc_id AS id, wmn AS fp FROM wm
+       WHERE i <= m - 5 + 1),
+wok AS (SELECT fp FROM wf GROUP BY fp HAVING COUNT(*) <= 1000),
+wc AS (SELECT f.id, f.fp FROM wf f JOIN wok USING (fp)),
+wdrop AS (SELECT DISTINCT y.id AS b FROM wc x
+          JOIN wc y ON x.fp = y.fp AND x.id < y.id),
+k2 AS (SELECT k1.* FROM k1 LEFT JOIN wdrop ON k1.doc_id = wdrop.b
+       WHERE wdrop.b IS NULL),
+w2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM k2),
+f2 AS (SELECT wd, COUNT(*) AS c FROM w2 GROUP BY wd),
+t2 AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM f2),
+l2 AS (SELECT wd, CAST(ROUND(LN(CAST(c AS DOUBLE) / total) * 1000)
+                       AS BIGINT) AS mn
+       FROM f2, t2),
+p2 AS (SELECT doc_id, COUNT(*) AS n_words, SUM(mn) AS sum_mn
+       FROM w2 JOIN l2 USING (wd) GROUP BY doc_id),
+s2 AS (SELECT doc_id, n_words,
+              CAST((sum_mn - ((sum_mn % n_words) + n_words) % n_words)
+                   / n_words AS BIGINT) AS score
+       FROM p2),
+h2 AS (SELECT score, SUM(n_words) AS toks FROM s2 GROUP BY score),
+tt2 AS (SELECT SUM(n_words) AS t FROM s2),
+c2 AS (SELECT score,
+              SUM(toks) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+       FROM h2),
+th2 AS (SELECT MAX(score) AS thr FROM c2, tt2
+        WHERE 1000000 * cum >= 600000 * t),
+fin AS (SELECT k2.doc_id, k2.source, s2.n_words
+        FROM k2 JOIN s2 ON k2.doc_id = s2.doc_id
+        CROSS JOIN th2 WHERE s2.score >= th2.thr)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM fin GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3929,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "curation_v2": q_curation_v2,
         "token_budget_cut": q_token_budget_cut,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -4022,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_v2": _oracle_curation_v2(),
         "token_budget_cut": _oracle_token_budget_cut(),
         "asof_join": _oracle_asof_join(),
         "range_join": _oracle_range_join(),

@@ -1049,7 +1049,10 @@ def dedup_inner_lines(df, text_col: str = "text", id_col: str = "doc_id"):
     Scale shape: a PURE per-row array expression — no shuffle, no
     join, no cross-doc state, no Python: the first-occurrence test is
     array_position(lines, x) == i inside a single filter lambda, so
-    the whole operator is the map side of whatever follows.  Returns
+    the whole operator is the map side of whatever follows.  The test
+    is O(lines²) WITHIN a document — fine for page-sized docs (10³
+    lines); for pathological 10⁵-line documents switch to the
+    relational MIN(i)-per-line formulation the oracle uses.  Returns
     (id, text, n_dropped)."""
     staged = df.select(F.col(id_col),
                        F.split(F.col(text_col), "\n").alias("_ls"))
@@ -1132,12 +1135,16 @@ def bigram_backoff_logprob(df, min_count: int = 2,
     alpha + mn_u.
 
     Scale shape: the bigram stream collapses FIRST through the
-    (doc, w1, w2) hash agg; the corpus bigram/unigram tables are one
-    more agg over those relations; the model joins are bigram-/word-
-    keyed with NO broadcast hint (both grow with the corpus, AQE
-    decides) and the corpus total is the only forced broadcast (one
-    row).  Returns (id, n_tokens, n_hits, sum_mn, mean_mn) — n_hits
-    counts positions scored by a surviving bigram."""
+    (doc, w1, w2) hash agg — note the collapse factor is much weaker
+    than the unigram case (within one doc most bigrams are distinct,
+    so the shuffle carries close to token-stream volume; map-side
+    partial aggregation is what keeps it one pass); the corpus
+    bigram/unigram tables are one more agg over those relations; the
+    model joins are bigram-/word-keyed with NO broadcast hint (both
+    grow with the corpus, AQE decides) and the corpus total is the
+    only forced broadcast (one row).  Returns
+    (id, n_tokens, n_hits, sum_mn, mean_mn) — n_hits counts positions
+    scored by a surviving bigram."""
     ws = words(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
     tfu = (base.select("id", F.explode("ws").alias("wd"))

@@ -621,3 +621,22 @@ def test_range_join_binned_hash_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_curation_v2_composed_plan_no_python(spark):
+    """The round-6 curation composition (stratified cut -> winnow dedup
+    -> token budget) must compile to ONE pure-JVM plan: zero Python
+    boundaries, with the persisted score/fingerprint relations reused
+    (multiple InMemoryTableScans) rather than recomputed."""
+    import __spark_entry__ as entry_mod
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    try:
+        df = entry_mod.queries()["curation_v2"](
+            spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, \
+            plan
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        unpersist_tracked()
