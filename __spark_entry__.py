@@ -3852,6 +3852,60 @@ FROM fin GROUP BY source ORDER BY source
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric-distance top-k (similarity.sq8_topk): codes-only
+    scoring via dot(q, mins) + sum (q_i*step_i)*code_i, reconstructed
+    norm in the denominator.  Pins the per-dim stats, every code, the
+    decomposed ADC fold, and the (asim DESC, neighbor) ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (S.sq8_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_sq8_topk() -> str:
+    # Same folds in the same order via DuckDB list comprehensions;
+    # ROUND operands and ties per the sq8/ann family conventions.
+    fold = ("list_reduce(list_prepend(0.0, [{x} for i in range(1, 65)]),"
+            " (a, b) -> a + b)")
+    xh = ("(st.mns[i] + c.codes[i]"
+          " * (st.mxs[i] - st.mns[i]) / 255.0)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, i, v[i] AS x FROM e,
+      LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) u),
+sd AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY i),
+st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       FROM sd),
+c AS (SELECT e.vec_id AS neighbor_id,
+             [CASE WHEN st.mxs[i] = st.mns[i] THEN 0
+                   ELSE CAST(ROUND((e.v[i] - st.mns[i]) * 255.0
+                             / (st.mxs[i] - st.mns[i])) AS INTEGER)
+              END for i in range(1, 65)] AS codes
+      FROM e CROSS JOIN st),
+x AS (SELECT c.neighbor_id, c.codes,
+             sqrt({fold.format(x=xh + ' * ' + xh)}) AS an
+      FROM c CROSS JOIN st),
+q AS (SELECT e.vec_id AS query_id,
+             sqrt({fold.format(x='e.v[i] * e.v[i]')}) AS qn,
+             {fold.format(x='e.v[i] * st.mns[i]')} AS qmn,
+             [e.v[i] * (st.mxs[i] - st.mns[i]) / 255.0
+              for i in range(1, 65)] AS qstep
+      FROM e CROSS JOIN st WHERE e.vec_id < 5),
+sc AS (SELECT q.query_id, x.neighbor_id,
+              ROUND((q.qmn
+                     + {fold.format(x='q.qstep[i] * x.codes[i]')})
+                    / (q.qn * x.an), 4) AS asim
+       FROM x CROSS JOIN q WHERE x.neighbor_id <> q.query_id),
+rk AS (SELECT query_id, neighbor_id, asim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY asim DESC, neighbor_id) AS r
+       FROM sc)
+SELECT query_id, CAST(r AS INTEGER) AS rank, neighbor_id, asim
+FROM rk WHERE r <= 5 ORDER BY query_id, r
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4042,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_driver_window.py audits the rotation each round and
     appends the currently-unwindowed list to PROGRESS.jsonl."""
     return {
+        "sq8_topk": q_sq8_topk,
         "curation_v2": q_curation_v2,
         "token_budget_cut": q_token_budget_cut,
         "asof_join": q_asof_join,
@@ -4136,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sq8_topk": _oracle_sq8_topk(),
         "curation_v2": _oracle_curation_v2(),
         "token_budget_cut": _oracle_token_budget_cut(),
         "asof_join": _oracle_asof_join(),

@@ -416,7 +416,7 @@ def main() -> None:
              "quality_calibrate_by", "dedup_inner_lines", "mix_ratios",
              "bigram_backoff", "sq8_quantize", "winnow_near_dups",
              "zipf_slope", "asof_join", "range_join",
-             "token_budget_cut", "curation_v2")
+             "token_budget_cut", "curation_v2", "sq8_topk")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

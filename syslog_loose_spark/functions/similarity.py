@@ -763,6 +763,20 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                      .otherwise(F.lit(0)).cast("long").alias("kept")))
 
 
+def _sq8_stats_one(corpus: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension corpus [min, max] packed into ONE broadcastable
+    row (mns, mxs) — the SQ8 'codebook'."""
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    return (corpus.select(F.posexplode(v).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "mn", "mx"))).alias("st"))
+            .select(F.expr("transform(st, s -> s.mn)").alias("mns"),
+                    F.expr("transform(st, s -> s.mx)").alias("mxs")))
+
+
 def sq8_quantize(corpus: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """FAISS-style SQ8 scalar quantization: per-dimension corpus
@@ -785,14 +799,7 @@ def sq8_quantize(corpus: DataFrame, id_col: str = "vec_id",
     order-insensitive integer sum (the millinat rule applied to
     floats).  Returns (id, codes array<int>, sum_abs_err_um)."""
     v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
-    stats_one = (corpus.select(F.posexplode(v).alias("pos", "x"))
-                 .groupBy("pos")
-                 .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-                 .groupBy()
-                 .agg(F.array_sort(F.collect_list(
-                     F.struct("pos", "mn", "mx"))).alias("st"))
-                 .select(F.expr("transform(st, s -> s.mn)").alias("mns"),
-                         F.expr("transform(st, s -> s.mx)").alias("mxs")))
+    stats_one = _sq8_stats_one(corpus, vec_col)
     enc = (corpus.crossJoin(F.broadcast(stats_one))
            .select(F.col(id_col), v.alias("v"), "mns", "mxs"))
     codes = F.expr(
@@ -816,3 +823,81 @@ def sq8_quantize(corpus: DataFrame, id_col: str = "vec_id",
         codes.alias("codes"),
         F.aggregate(err_terms, F.lit(0).cast("long"),
                     lambda acc, e: acc + e).alias("sum_abs_err_um"))
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             rerank: int = 0) -> DataFrame:
+    """SQ8 asymmetric-distance top-k — the search half of sq8_quantize
+    (FAISS IndexScalarQuantizer): corpus rows are scanned as 1-byte-
+    per-dimension codes, and each query folds them against its own
+    precomputed per-dimension terms — dot(q, x_hat) decomposes as
+    dot(q, mins) + sum_i (q_i * step_i) * code_i, so scoring touches
+    CODES ONLY (never a reconstructed vector): one scalar + one
+    int-weighted fold per row.
+
+    Scale shape: the stats row is the one broadcast (the SQ8
+    'codebook'); encoding and scoring are per-row folds over the
+    4x-compressed codes — no corpus shuffle; the query side (qn, the
+    dot(q, mins) scalar, the q*step table) broadcasts with the
+    queries, exactly the PQ-ADC join shape.  Approximate sim =
+    adc-dot / (|q| * reconstructed-|x_hat|), ties on neighbor_id;
+    ``rerank`` adds the standard exact-refinement stage
+    (_exact_rerank) touching only shortlist rows."""
+    from .dedup import _track
+
+    st_one = _track(_sq8_stats_one(corpus, vec_col))
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    codes = F.expr(
+        "transform(v, (x, i) -> CASE"
+        " WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0"
+        " ELSE cast(round((x - element_at(mns, i + 1)) * 255.0D"
+        "      / (element_at(mxs, i + 1) - element_at(mns, i + 1)))"
+        "      as int) END)")
+    xh = F.expr(
+        "transform(codes, (c, i) -> element_at(mns, i + 1)"
+        " + c * (element_at(mxs, i + 1) - element_at(mns, i + 1))"
+        " / 255.0D)")
+    enc = (corpus.crossJoin(F.broadcast(st_one))
+           .select(F.col(id_col).alias("neighbor_id"), v.alias("v"),
+                   "mns", "mxs")
+           .withColumn("codes", codes)
+           .withColumn("xh", xh)
+           .select("neighbor_id", "codes",
+                   F.sqrt(F.aggregate(
+                       F.col("xh"), F.lit(0.0),
+                       lambda acc, x: acc + x * x)).alias("an")))
+    q = (queries.crossJoin(F.broadcast(st_one))
+         .select(F.col(id_col).alias("query_id"),
+                 v.alias("qv"), "mns", "mxs")
+         .select("query_id",
+                 F.sqrt(F.aggregate(
+                     F.col("qv"), F.lit(0.0),
+                     lambda acc, x: acc + x * x)).alias("qn"),
+                 F.aggregate(
+                     F.zip_with(F.col("qv"), F.col("mns"),
+                                lambda x, y: x * y),
+                     F.lit(0.0), lambda acc, t: acc + t).alias("qmn"),
+                 F.expr(
+                     "transform(qv, (x, i) -> x"
+                     " * (element_at(mxs, i + 1)"
+                     "    - element_at(mns, i + 1)) / 255.0D)")
+                 .alias("qstep")))
+    adot = (F.col("qmn") + F.aggregate(
+        F.zip_with(F.col("qstep"), F.col("codes"),
+                   lambda s, c: s * c),
+        F.lit(0.0), lambda acc, t: acc + t))
+    scored = (enc.join(F.broadcast(q),
+                       F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("asim", F.round(
+                  adot / (F.col("qn") * F.col("an")), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id"))
+    if not rerank:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "asim"))
+    shortlist = (scored.withColumn("r0", F.row_number().over(w))
+                 .where(F.col("r0") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    return _exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)

@@ -640,3 +640,23 @@ def test_curation_v2_composed_plan_no_python(spark):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         unpersist_tracked()
+
+
+def test_sq8_topk_codes_only_scan_broadcast_sides(spark):
+    """sq8_topk: the stats row and the query table are the only
+    broadcasts; scoring is a per-row fold over codes — no corpus-keyed
+    shuffle join, no Python."""
+    from pyspark.sql import functions as F2
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.similarity import sq8_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    try:
+        plan = _plan(sq8_topk(emb, emb.where(F2.col("vec_id") < 3), k=3))
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert plan.count("EvalPython") + plan.count("MapInPandas") == 0, \
+            plan
+    finally:
+        unpersist_tracked()

@@ -2363,3 +2363,30 @@ def test_streaming_asof_enrich_parity_with_batch(spark, tmp_path):
                  for r in asof_join(clicks, errors)
                  .select("event_id", "ref_event_id").collect())
     assert got == exp and len(got) > 0
+
+
+def test_sq8_topk_recall_and_rerank(spark):
+    """SQ8 ADC search: 255 levels per dimension is high-fidelity, so
+    pure-ADC top-5 must recover >= 0.9 of brute-force neighbors and the
+    reranked path >= brute-force parity on this corpus; results are a
+    subset of valid (non-self) ids either way."""
+    from pyspark.sql import functions as F2
+
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+    from syslog_loose_spark.functions.similarity import (brute_force_topk,
+                                                         sq8_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F2.col("vec_id") < 5)
+    try:
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(emb, q, k=5).collect()}
+        adc = {(r["query_id"], r["neighbor_id"])
+               for r in sq8_topk(emb, q, k=5).collect()}
+        rr = {(r["query_id"], r["neighbor_id"])
+              for r in sq8_topk(emb, q, k=5, rerank=50).collect()}
+    finally:
+        unpersist_tracked()
+    assert len(adc & exact) / len(exact) >= 0.9
+    assert len(rr & exact) / len(exact) >= 0.9
+    assert not any(a == b for a, b in adc)
