@@ -153,11 +153,17 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     wcl = F.least(F.greatest(F.coalesce(
         F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)),
         F.lit(int(cap)))
-    key = F.array_min(F.transform(
+    # Guard wcl >= 1 INSIDE the key expression: Spark sequence(1, 0) is
+    # the DESCENDING [1, 0] (CLAUDE.md sequence trap), so an unguarded
+    # key would manufacture a spurious i=0 draw for weight-0 rows the
+    # DuckDB oracle (range(1, wcl+1) = empty) never produces.  The
+    # .where below still drops those rows; the when() makes the key
+    # expression safe to reuse/reorder on its own (ADVICE r6).
+    key = F.when(wcl >= 1, F.array_min(F.transform(
         F.sequence(F.lit(1), wcl),
         lambda i: F.md5(F.concat(F.lit("wsamp-"),
                                  F.col(id_col).cast("string"),
-                                 F.lit("-"), i.cast("string")))))
+                                 F.lit("-"), i.cast("string"))))))
     return (df.withColumn(key_out, key)
             .where(wcl >= 1)
             .orderBy(key_out, id_col)

@@ -558,9 +558,12 @@ def heavy_hitter_words(df, thr_ppm: int = 1000, capacity: int | None = None,
                    >= F.lit(int(thr_ppm)) * F.col("total"))
             .select(F.col("wd").alias("word"),
                     F.col("n").cast("long").alias("n"),
-                    F.floor(F.lit(1_000_000) * F.col("n")
-                            / F.col("total"))
-                     .cast("long").alias("ppm")))
+                    # _floor_div, not FLOOR(a/b): the double quotient of
+                    # two ~1e10 longs can land within ulp of an integer
+                    # and flip the floor vs the oracle's exact integer
+                    # division (CLAUDE.md invariant; ADVICE r6).
+                    _floor_div(F.lit(1_000_000) * F.col("n"),
+                               F.col("total")).alias("ppm")))
 
 
 def _floor_div(num, den):

@@ -12,10 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+_ASOF_RESERVED = ("_ap", "_ir", "_m", "_sl")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by=("user_id",), right_cols=("event_id", "value"),
-              prefix: str = "ref_", tolerance: int | None = None
-              ) -> DataFrame:
+              prefix: str = "ref_", tolerance: int | None = None,
+              salt: int | None = None) -> DataFrame:
     """Backward as-of join: every left row picks the LATEST right row of
     the same ``by`` key with right.on <= left.on (pandas merge_asof /
     DuckDB ASOF JOIN semantics, equality included) — the canonical
@@ -38,8 +41,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     identical to DuckDB ASOF JOIN, which leaves that tie unspecified;
     keep reference streams tie-free per key.  Unmatched left rows keep
     NULL right columns (left-join semantics).  Returns every left
-    column plus ``prefix``-ed right_cols."""
+    column plus ``prefix``-ed right_cols.
+
+    ``salt`` (opt-in, VERDICT r6 item 6) handles a DOMINATING key: the
+    keyed window above funnels every row of a hot key through one task.
+    With ``salt=S`` the left stream spreads across S sub-partitions
+    (pmod(xxhash64(on), S) — content-derived, rerun-stable) while the
+    right stream REPLICATES to all S (explode of a 0..S-1 literal
+    sequence), so each sub-partition still sees the complete reference
+    stream for its key and the running-last result is EXACTLY the
+    unsalted one (equality test pins it).  Cost: right is duplicated
+    S x — the intended trade when |right| << |left| on the hot key.
+    """
     by = list(by)
+    taken = set(_ASOF_RESERVED) & set(left.columns)
+    if taken:
+        raise ValueError(
+            f"asof_join: left columns {sorted(taken)} collide with "
+            f"internal staging names {_ASOF_RESERVED}; rename them "
+            "before joining (withColumn would silently overwrite and "
+            "drop them from the output)")
     payload = F.struct(F.col(on).alias("_mts"),
                        *[F.col(c).alias(c) for c in right_cols])
     rt = right.select(*by, F.col(on).alias(on), payload.alias("_ap"),
@@ -47,8 +68,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     lt = (left.withColumn("_ap",
                           F.lit(None).cast(rt.schema["_ap"].dataType))
           .withColumn("_ir", F.lit(0)))
+    part = list(by)
+    if salt is not None and int(salt) > 1:
+        s = int(salt)
+        lt = lt.withColumn(
+            "_sl", F.pmod(F.xxhash64(F.col(on)), F.lit(s)).cast("int"))
+        rt = (rt.withColumn(
+            "_sl", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+            .withColumn("_sl", F.col("_sl").cast("int")))
+        part = [*by, "_sl"]
     u = lt.unionByName(rt, allowMissingColumns=True)
-    w = (Window.partitionBy(*by)
+    w = (Window.partitionBy(*part)
          .orderBy(F.col(on).asc(), F.col("_ir").desc())
          .rowsBetween(Window.unboundedPreceding, 0))
     m = u.withColumn("_m", F.last("_ap", ignorenulls=True).over(w))

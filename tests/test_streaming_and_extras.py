@@ -2327,6 +2327,51 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got == expected(tol), f"tolerance={tol}"
 
 
+def test_asof_join_salted_equals_plain_and_guards_names(spark):
+    """VERDICT r6 item 6: the opt-in hot-key salt (left spread across S
+    sub-partitions, right replicated to all S) must return EXACTLY the
+    plain path's rows on a skewed fixture where one key dominates —
+    including NULL-match rows and the tolerance leg.  Also pins the
+    ADVICE r6 guard: internal staging names colliding with a left
+    column raise instead of silently dropping the column."""
+    import datetime as dt
+
+    import pytest
+
+    from syslog_loose_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key 7 dominates (180 of 200 left rows); irregular right stream
+    left = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=13 * i + (i % 7)),
+          7 if i % 10 else 8) for i in range(200)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(
+        [(1000 + j, t0 + dt.timedelta(seconds=97 * j), 7 if j % 5 else 8,
+          float(j)) for j in range(25)],
+        "rid LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+
+    for tol in (None, 300):
+        plain = sorted(
+            (r["event_id"], r["ref_rid"], r["ref_value"])
+            for r in asof_join(left, right, right_cols=("rid", "value"),
+                               tolerance=tol).collect())
+        for s in (1, 4, 16):
+            salted = sorted(
+                (r["event_id"], r["ref_rid"], r["ref_value"])
+                for r in asof_join(left, right,
+                                   right_cols=("rid", "value"),
+                                   tolerance=tol, salt=s).collect())
+            assert salted == plain, f"salt={s} tolerance={tol}"
+        # salted output schema carries no staging column
+        cols = asof_join(left, right, right_cols=("rid",), salt=4).columns
+        assert cols == ["event_id", "ts", "user_id", "ref_rid"]
+
+    with pytest.raises(ValueError, match="_ap"):
+        asof_join(left.withColumn("_ap", F.lit(1)), right,
+                  right_cols=("rid",))
+
+
 def test_streaming_asof_enrich_parity_with_batch(spark, tmp_path):
     """Stream-static as-of: micro-batching the event stream through
     foreachBatch asof_join produces EXACTLY the batch asof_join result
