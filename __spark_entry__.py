@@ -3188,6 +3188,96 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE trainer (text.bpe_train_batched, VERDICT r6 item 2):
+    2 rounds x up to 3 mutually symbol-disjoint merges per round — ONE
+    pair-ranking collect per ROUND instead of per merge.  The DuckDB
+    twin unrolls both rounds, replicating the bounded top-17 fetch
+    (LIMIT lockstep with the engine's limit(fetch).collect()) and the
+    greedy disjoint selection via a recursive CTE walking the ranked
+    list.  Same toks_md5 pinning as q_bpe_train: every round's SELECTION
+    and every per-doc merge application is transitively hashed."""
+    docs = _t(spark, sf_dir, "documents")
+    _, toks = T.bpe_train_batched(docs, n_rounds=2, batch_max=3,
+                                  min_count=2)
+    return (toks.select(
+        "doc_id", "n_tokens",
+        F.md5(F.encode(F.array_join("tokens", "\x02\x01"), "UTF-8"))
+         .alias("toks_md5"))
+        .orderBy("doc_id"))
+
+
+def _oracle_bpe_train_batched(n_rounds: int = 2, batch_max: int = 3,
+                              fetch: int = 17) -> str:
+    # One unrolled ROUND: rank pairs (count DESC, w1, w2) cut to the
+    # SAME top-`fetch` the engine collects, pick up to batch_max
+    # symbol-disjoint pairs with a recursive CTE over rank order, then
+    # apply the (variable-length, <= batch_max) batch as a nested
+    # CASE/replace chain — a[k] unset => no-op stage, mirroring the
+    # engine's early break (corpus unchanged => later rounds no-op).
+    # each round's recursive CTE needs a UNIQUE name: DuckDB resolves a
+    # re-used nested recursive-CTE name against the earlier round's
+    # recursion (observed live: g1 re-selected from r0's ranked list)
+    def pick(i):
+        return (f"len(gr{i}.a) < {batch_max} "
+                f"AND NOT list_contains(gr{i}.used, r.w1) "
+                f"AND NOT list_contains(gr{i}.used, r.w2)")
+
+    def stage(i):
+        apply_s = "s.s"
+        for k in range(1, batch_max + 1):
+            apply_s = f"""CASE WHEN len(g.a) >= {k}
+            THEN replace({apply_s},
+                         chr(1) || g.a[{k}] || chr(2) || chr(1)
+                                || g.b[{k}] || chr(2),
+                         chr(1) || g.a[{k}] || chr(31) || g.b[{k}]
+                                || chr(2))
+            ELSE {apply_s} END"""
+        return f"""
+tk{i} AS (SELECT doc_id,
+                 string_split(substr(s, 2, length(s) - 2),
+                              chr(2) || chr(1)) AS ws
+          FROM s{i}),
+p{i} AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+         FROM tk{i}, LATERAL (SELECT unnest(generate_series(
+                              1, len(ws) - 1)) AS i) u),
+r{i} AS (SELECT w1, w2,
+                ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS rk
+         FROM (SELECT w1, w2, COUNT(*) AS c FROM p{i}
+               GROUP BY w1, w2 HAVING COUNT(*) >= 2)
+         ORDER BY c DESC, w1, w2 LIMIT {fetch}),
+g{i} AS (SELECT a, b FROM (
+  WITH RECURSIVE gr{i} AS (
+    SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+           CAST([] AS VARCHAR[]) AS a, CAST([] AS VARCHAR[]) AS b
+    UNION ALL
+    SELECT r.rk,
+      CASE WHEN {pick(i)}
+           THEN list_concat(gr{i}.used, [r.w1, r.w2])
+           ELSE gr{i}.used END,
+      CASE WHEN {pick(i)}
+           THEN list_append(gr{i}.a, r.w1) ELSE gr{i}.a END,
+      CASE WHEN {pick(i)}
+           THEN list_append(gr{i}.b, r.w2) ELSE gr{i}.b END
+    FROM gr{i} JOIN r{i} r ON r.rk = gr{i}.rk + 1
+  ) SELECT a, b FROM gr{i} ORDER BY rk DESC LIMIT 1)),
+s{i + 1} AS (SELECT doc_id, {apply_s} AS s FROM s{i} s, g{i} g)"""
+
+    stages = ",".join(stage(i) for i in range(n_rounds))
+    return f"""
+WITH s0 AS (SELECT doc_id,
+                   chr(1) || array_to_string(string_split(text, ' '),
+                                             chr(2) || chr(1)) || chr(2)
+                     AS s
+            FROM documents),{stages}
+SELECT doc_id,
+       CAST(len(string_split(substr(s, 2, length(s) - 2),
+                             chr(2) || chr(1))) AS BIGINT) AS n_tokens,
+       md5(substr(s, 2, length(s) - 2)) AS toks_md5
+FROM s{n_rounds} ORDER BY doc_id
+"""
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE inference (text.bpe_encode): apply a FROZEN 3-entry merge
     table — the third entry a second-order merge consuming the \\x1f
@@ -3663,6 +3753,27 @@ ORDER BY l.event_id
 """
 
 
+def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted as-of join (joins.asof_join salt=8, VERDICT r6
+    item 6): the left stream spreads across 8 content-derived
+    sub-partitions while the error stream replicates to all 8, so a
+    dominating user no longer funnels through one window task.  The
+    salted path must return EXACTLY the plain path's rows, so the
+    oracle is the same native DuckDB ASOF LEFT JOIN — a driver-level
+    equality proof on real data, not just the unit fixture."""
+    from syslog_loose_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    return (asof_join(clicks, errors, on="ts", by=("user_id",),
+                      right_cols=("event_id", "value"), prefix="ref_",
+                      salt=8)
+            .select("event_id", "user_id", "ref_event_id",
+                    F.round(F.col("ref_value"), 6).alias("ref_value"))
+            .orderBy("event_id"))
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (operators/joins.range_join_binned): clicks
     falling inside any [error, error + 60 min] maintenance window of
@@ -4090,33 +4201,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window contract (VERDICT r5 item 1): the driver's
     CORRECTNESS artifact covers exactly the FIRST 50 dict entries
     (proven empirically in r4 and r5), so dict ORDER is load-bearing.
-    Never-driver-verified queries go first; entries past position 50 are
-    a DELIBERATE rotation of long-stable rows (each >=4x driver-green
-    and still pinned every run by tests/test_entry_queries.py).
-    tools/check_driver_window.py audits the rotation each round and
-    appends the currently-unwindowed list to PROGRESS.jsonl."""
+    Round-7 rotation (VERDICT r6 items 1+8): the 2 never-driver-
+    verified queries lead; then the r6-changed ANN trio + 20 more of
+    the 40 r5-green rotated-out entries re-enter; 25 r6-green rows
+    (including every operator whose code changed this round —
+    heavy_hitters, weighted_sample, asof_join — plus the regression-
+    watch and core-pipeline queries) keep the window.  Past position
+    50: the 17 remaining r5-greens re-enter in r8, then the 25
+    r6-greens.  tools/check_driver_window.py audits the rotation each
+    round and appends the plan to PROGRESS.jsonl."""
     return {
-        "sq8_topk": q_sq8_topk,
-        "curation_v2": q_curation_v2,
-        "token_budget_cut": q_token_budget_cut,
+        # --- new this round (never driver-verified) ---
+        "bpe_train_batched": q_bpe_train_batched,
+        "asof_join_salted": q_asof_join_salted,
+        # --- r6-changed ANN builds (VERDICT item 1: need fresh rows) ---
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # --- re-entering r5-greens (rotation cadence, VERDICT item 8) ---
+        "multimodal_real_features": q_multimodal_real_features,
+        "multimodal_real_resize": q_multimodal_real_resize,
+        "curation_full": q_curation_full,
+        "dedup_components": q_dedup_components,
+        "near_dup_keep_canonical": q_near_dup_keep_canonical,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "simhash": q_simhash,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample_by_lang": q_stratified_sample_by_lang,
+        "corpus_hash_split": q_corpus_hash_split,
+        "repetition_stats": q_repetition_stats,
+        "text_quality": q_text_quality,
+        # --- kept r6-greens (changed code, regression watch, core) ---
+        "heavy_hitters": q_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "zipf_slope": q_zipf_slope,
+        "syslog_agg_fac_sev_hour": q_syslog_agg_fac_sev_hour,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
+        "curation_v2": q_curation_v2,
         "winnow_near_dups": q_winnow_near_dups,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "bpe_merge": q_bpe_merge,
+        "token_budget_cut": q_token_budget_cut,
+        "quality_calibrate": q_quality_calibrate,
+        "sq8_topk": q_sq8_topk,
         "sq8_quantize": q_sq8_quantize,
+        "semantic_dedup": q_semantic_dedup,
+        "syslog_parse_golden": q_syslog_parse_golden,
+        "syslog_enrich_pri_agg": q_syslog_enrich_pri_agg,
+        "syslog_route_counts": q_syslog_route_counts,
+        "syslog_dead_letter": q_syslog_dead_letter,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        # ================= position 51+: outside the window ==========
+        # r5-greens re-entering in r8 (keep first for the next rotation)
+        "bpe_token_count": q_bpe_token_count,
+        "brand_revenue": q_brand_revenue,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_norms": q_embedding_norms,
+        "events_quantiles": q_events_quantiles,
+        "events_quantiles_approx": q_events_quantiles_approx,
+        "events_top_users": q_events_top_users,
+        "lang_id": q_lang_id,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
+        "syslog_fallback_verbatim": q_syslog_fallback_verbatim,
+        "syslog_host_volume": q_syslog_host_volume,
+        "syslog_pri_decompose": q_syslog_pri_decompose,
+        "syslog_sd_params": q_syslog_sd_params,
+        "term_doc_freq": q_term_doc_freq,
+        # r6-greens rotated out this round (freshest; re-enter r8+)
+        "zipf_slope": q_zipf_slope,
         "bigram_backoff": q_bigram_backoff,
         "quality_calibrate_by": q_quality_calibrate_by,
         "dedup_inner_lines": q_dedup_inner_lines,
         "mix_ratios": q_mix_ratios,
-        "bpe_encode": q_bpe_encode,
-        "weighted_sample": q_weighted_sample,
         "source_kl": q_source_kl,
-        "semantic_dedup": q_semantic_dedup,
         "nb_classifier": q_nb_classifier,
-        "heavy_hitters": q_heavy_hitters,
-        "bpe_train": q_bpe_train,
-        "quality_calibrate": q_quality_calibrate,
-        "bpe_merge": q_bpe_merge,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_pmi": q_bigram_pmi,
         "gopher_quality": q_gopher_quality,
@@ -4127,7 +4302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicated_spans": q_strip_duplicated_spans,
         "word_rarity": q_word_rarity,
         "pii_scrub": q_pii_scrub,
-        "decontaminate_benchmark": q_decontaminate_benchmark,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_fp": q_dedup_incremental_fp,
         "multimodal_real_rgb": q_multimodal_real_rgb,
@@ -4136,61 +4310,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "boilerplate_lines": q_boilerplate_lines,
         "duplicated_ngram_stats": q_duplicated_ngram_stats,
-        "syslog_parse_golden": q_syslog_parse_golden,
-        "syslog_enrich_pri_agg": q_syslog_enrich_pri_agg,
-        "syslog_route_counts": q_syslog_route_counts,
-        "syslog_agg_fac_sev_hour": q_syslog_agg_fac_sev_hour,
-        "syslog_dead_letter": q_syslog_dead_letter,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "events_quantiles_approx": q_events_quantiles_approx,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "doc_fingerprint": q_doc_fingerprint,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_norms": q_embedding_norms,
-        "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "term_doc_freq": q_term_doc_freq,
-        "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "dedup_components": q_dedup_components,
-        "corpus_hash_split": q_corpus_hash_split,
-        "repetition_stats": q_repetition_stats,
-        "curation_full": q_curation_full,
-        "stratified_sample_by_lang": q_stratified_sample_by_lang,
-        "pack_sequences": q_pack_sequences,
-        "near_dup_keep_canonical": q_near_dup_keep_canonical,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-        "multimodal_features": q_multimodal_features,
-        "bpe_token_count": q_bpe_token_count,
-        "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_real_features": q_multimodal_real_features,
-        "syslog_pri_decompose": q_syslog_pri_decompose,
-        "syslog_sd_params": q_syslog_sd_params,
-        "syslog_fallback_verbatim": q_syslog_fallback_verbatim,
-        "syslog_host_volume": q_syslog_host_volume,
-        "events_top_users": q_events_top_users,
-        "events_quantiles": q_events_quantiles,
-        "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_real_resize": q_multimodal_real_resize,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "brand_revenue": q_brand_revenue,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_train_batched": _oracle_bpe_train_batched(),
+        # salted path must equal the plain path exactly, so the SAME
+        # native ASOF JOIN oracle applies — a driver-level equality
+        # proof between the two engine strategies
+        "asof_join_salted": _oracle_asof_join(),
         "sq8_topk": _oracle_sq8_topk(),
         "curation_v2": _oracle_curation_v2(),
         "token_budget_cut": _oracle_token_budget_cut(),

@@ -309,6 +309,43 @@ def heavy_near_dup_bench(spark) -> dict:
     out["embedding_near_dups_80k_vecs"] = {
         "sec": sec, "machine_cpu_sec": cpu, "cores_busy": busy,
         "rows": n_vecs, "pairs": pairs, "planted": n_vecs // 100}
+
+    # r6 VERDICT item 3: scale datapoints for the round-6 flagship
+    # operators — winnowing's fp-equality self-join at 200k docs, and
+    # the full curation_v2 composition (calibrated cut -> winnow drop
+    # -> token-budget cut) at 40x the sf0.1 documents rowcount.
+    from syslog_loose_spark.functions.dedup import winnow_near_dups
+    sec, cpu, busy, pairs = best_of(2, lambda: winnow_near_dups(
+        synth_docs(n_docs), k=4, w=5, min_shared=2).count())
+    out["winnow_near_dups_200k_docs"] = {
+        "sec": sec, "machine_cpu_sec": cpu, "cores_busy": busy,
+        "rows": n_docs, "pairs": pairs}
+
+    from syslog_loose_spark.functions.text import (
+        calibrated_quality_cut_by, token_budget_cut, token_count)
+
+    def curation_v2_heavy():
+        docs = synth_docs(n_docs).withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 5)
+                               .cast("string")))
+        cut1 = calibrated_quality_cut_by(docs, group_col="source",
+                                         keep_ppm=700_000)
+        kept1 = docs.join(cut1.where(F.col("kept") == 1)
+                          .select("doc_id"), "doc_id")
+        pairs = winnow_near_dups(kept1, k=4, w=5, min_shared=2)
+        kept2 = kept1.join(pairs.select(F.col("b").alias("doc_id"))
+                           .distinct(), "doc_id", "left_anti")
+        cut2 = token_budget_cut(kept2, budget_ppm=600_000)
+        final = kept2.join(cut2.where(F.col("kept") == 1)
+                           .select("doc_id"), "doc_id")
+        return (final.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(token_count(F.col("text")))
+                          .alias("tok")).collect()[0]["n"])
+
+    sec, cpu, busy, kept = best_of(2, curation_v2_heavy)
+    out["curation_v2_200k_docs"] = {
+        "sec": sec, "machine_cpu_sec": cpu, "cores_busy": busy,
+        "rows": n_docs, "kept_docs": kept}
     return out
 
 
@@ -416,7 +453,10 @@ def main() -> None:
              "quality_calibrate_by", "dedup_inner_lines", "mix_ratios",
              "bigram_backoff", "sq8_quantize", "winnow_near_dups",
              "zipf_slope", "asof_join", "range_join",
-             "token_budget_cut", "curation_v2", "sq8_topk")
+             "token_budget_cut", "curation_v2", "sq8_topk",
+             # r7 additions: batched BPE trainer (one collect per ROUND)
+             # and the hot-key-salted as-of join
+             "bpe_train_batched", "asof_join_salted")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):

@@ -757,6 +757,96 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
     return merges, out
 
 
+def bpe_train_batched(df, n_rounds: int = 2, batch_max: int = 3,
+                      min_count: int = 2, fetch: int | None = None,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Batched BPE training (VERDICT r6 item 2): ``bpe_train``'s
+    one-merge-per-Spark-job driver loop is infeasible at a real merge
+    budget (~32k merges = 32k sequential jobs), so this trainer selects
+    up to ``batch_max`` merges per ROUND — frequency-threshold batching
+    in the spirit of Brants et al. 2007's distributed LM estimation —
+    cutting driver round-trips by ~batch_max x.
+
+    Round contract (deterministic, oracle-replicable): rank pairs by
+    (count DESC, w1, w2), collect the top ``fetch`` (bounded driver
+    transfer; default 3*batch_max+8 — the DuckDB twin embeds the SAME
+    LIMIT, lockstep rule), then greedily take pairs in rank order,
+    skipping any that shares a SYMBOL with an already-taken pair, until
+    ``batch_max`` are taken.  Symbol-disjointness makes the batch
+    merges independent: merging (a,b) only perturbs counts of pairs
+    touching a or b, so every taken pair's count — and the merge result
+    itself, in any application order — is exactly its round-start
+    value.  Runs exactly ``n_rounds`` rounds (not a merge quota: the
+    round count is the unrolled-oracle contract), breaking early only
+    when NO pair reaches min_count (corpus then fixed, so remaining
+    rounds are provably no-ops).
+
+    NOT exact-BPE-equivalent in general: exact BPE re-ranks after every
+    merge, and a pair CREATED by this round's first merge can outrank
+    this round's second pick.  With batch_max=1 the selection rule
+    degenerates to bpe_train's and the outputs are identical
+    (differential-tested); larger batches trade that re-ranking for
+    ~batch_max x fewer driver rounds — the standard production trade.
+
+    Scale shape per round: ONE pair-type hash agg (map-side partial),
+    one TakeOrdered(fetch) collect, then a pure-JVM chained replace —
+    so a 32k-merge vocabulary costs ~32k/batch_max jobs instead of 32k.
+    Returns (merges, tokens_df) like bpe_train; merges rows are
+    (round, w1, w2, n_pair) in application order."""
+    from .dedup import _track
+
+    if fetch is None:
+        fetch = 3 * batch_max + 8
+    sep = _BPE_CLOSE + _BPE_OPEN
+    s0 = F.concat(F.lit(_BPE_OPEN),
+                  F.array_join(words(F.col(text_col)), sep),
+                  F.lit(_BPE_CLOSE))
+    cur = df.select(F.col(id_col).alias("id"), s0.alias("s"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if cur.rdd.getNumPartitions() < par:
+        cur = cur.repartition(par)
+    merges: list = []
+    for rnd in range(int(n_rounds)):
+        cur = _track(cur)
+        toks = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), sep)
+        ranked = (cur.select(F.explode(F.when(
+            F.size(toks) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("w1"),
+                            F.element_at(toks, i + 1).alias("w2")))
+        ).otherwise(F.array())).alias("p")).select("p.w1", "p.w2")
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= min_count)
+            .orderBy(F.desc("c"), "w1", "w2").limit(int(fetch))
+            .collect())
+        used: set = set()
+        sel: list = []
+        for r in ranked:
+            if len(sel) >= batch_max:
+                break
+            if r["w1"] in used or r["w2"] in used:
+                continue
+            sel.append((r["w1"], r["w2"], int(r["c"])))
+            used.update((r["w1"], r["w2"]))
+        if not sel:
+            break
+        scol = F.col("s")
+        for w1, w2, _c in sel:
+            pat = (_BPE_OPEN + w1 + _BPE_CLOSE
+                   + _BPE_OPEN + w2 + _BPE_CLOSE)
+            rep = _BPE_OPEN + w1 + _BPE_JOIN + w2 + _BPE_CLOSE
+            scol = F.replace(scol, F.lit(pat), F.lit(rep))
+        cur = cur.withColumn("s", scol)
+        merges.extend((rnd, w1, w2, c) for w1, w2, c in sel)
+    toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep)
+    out = cur.select(F.col("id").alias(id_col),
+                     toks.alias("tokens"),
+                     F.size(toks).cast("long").alias("n_tokens"))
+    return merges, out
+
+
 def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Corpus-wide collocation extraction: top-k adjacent word pairs by

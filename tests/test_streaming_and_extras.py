@@ -844,6 +844,165 @@ def test_streaming_sessionize_parity_with_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_streaming_restart_recovers_from_checkpoint(spark,
+                                                             tmp_path):
+    """VERDICT r6 item 5: applyInPandasWithState recovery from a REAL
+    checkpointLocation.  Phase 1 processes half the corpus and stops;
+    phase 2 appends the rest and restarts the same plan on the same
+    checkpoint.  The restarted query's totals must include phase-1 rows
+    (recovered state), and its `batches` counter must CONTINUE past
+    phase 1's — a fresh state would restart at 1."""
+    import os as _os
+
+    from syslog_loose_spark.streaming.stream import (
+        running_source_totals, streaming_transform)
+
+    src = str(tmp_path / "rst_src")
+    ckpt = str(tmp_path / "rst_ckpt")
+    full = generate_tokenized(spark, 400)
+
+    def append_chunk(df, order):
+        df.coalesce(1).write.mode("append").parquet(src)
+        part = [p for p in _os.listdir(src) if p.startswith("part-")
+                and _os.stat(_os.path.join(src, p)).st_mtime
+                > 1_600_000_000]
+        newest = max(part, key=lambda p: _os.stat(
+            _os.path.join(src, p)).st_mtime)
+        _os.utime(_os.path.join(src, newest),
+                  (1_500_000_000 + order * 10,) * 2)
+
+    # doc_id is a 'doc-00000000' string — split on its numeric suffix
+    doc_n = F.substring(F.col("doc_id"), 5, 8).cast("long")
+    append_chunk(full.where(doc_n < 200), 0)
+
+    def start(out):
+        # foreachBatch, not the memory sink: memory is explicitly
+        # non-recoverable ("This query does not support recovering from
+        # checkpoint location") — the recoverable production shape is
+        # foreachBatch + idempotent per-epoch writes
+        stream = (spark.readStream.schema(TOKENIZED_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        totals = running_source_totals(
+            streaming_transform(stream, PipelineConfig()))
+
+        def sink(bdf, epoch_id):
+            if not bdf.isEmpty():
+                bdf.write.mode("append").parquet(out)
+
+        return (totals.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt).start())
+
+    out1 = str(tmp_path / "rst_out1")
+    q1 = start(out1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    phase1 = {r["source"]: r for r in spark.read.parquet(out1)
+              .groupBy("source")
+              .agg(F.max("batches").alias("batches")).collect()}
+    assert phase1, "phase 1 processed nothing"
+
+    append_chunk(full.where(doc_n >= 200), 1)
+    out2 = str(tmp_path / "rst_out2")
+    q2 = start(out2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["source"]: (r["total_rows"], r["total_tokens"], r["batches"])
+           for r in spark.read.parquet(out2).groupBy("source")
+           .agg(F.max_by("total_rows", "batches").alias("total_rows"),
+                F.max_by("total_tokens", "batches").alias("total_tokens"),
+                F.max("batches").alias("batches")).collect()}
+    want = {r["source"]: (r["n"], r["t"]) for r in
+            full.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t"))
+            .collect()}
+    # every source updated after the restart carries the FULL-corpus
+    # total: phase-1 rows survive only through the recovered state
+    overlap = 0
+    for s, (rows, toks, batches) in got.items():
+        assert (rows, toks) == want[s], s
+        if s in phase1:
+            overlap += 1
+            assert batches > phase1[s]["batches"], (
+                f"{s}: state batches counter reset across restart")
+    assert overlap > 0, "fixture split never exercised state recovery"
+
+
+def test_streaming_sessions_restart_parity_with_batch(spark, tmp_path):
+    """Session continuity across a checkpoint restart: a user session
+    SPANNING the stop/restart boundary must keep its batch-assigned
+    session_seq — the union of pre- and post-restart update-mode
+    emissions equals the batch sessionizer on the full corpus."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from syslog_loose_spark.operators.sessionize import sessionize
+    from syslog_loose_spark.streaming.stream import streaming_sessions
+
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .where(F.col("user_id") < 40)
+              .select("user_id", "event_id", "ts"))
+    n = events.count()
+    src = str(tmp_path / "sessrst_src")
+    ckpt = str(tmp_path / "sessrst_ckpt")
+    ranked = events.withColumn(
+        "rk", F.row_number().over(W.orderBy("ts", "event_id")))
+    seen: set = set()
+
+    def write_chunk(lo, hi, order):
+        (ranked.where((F.col("rk") > lo) & (F.col("rk") <= hi)).drop("rk")
+         .coalesce(1).write.mode("append").parquet(src))
+        new = [p for p in _os.listdir(src)
+               if p.startswith("part-") and p not in seen]
+        assert len(new) == 1
+        seen.add(new[0])
+        _os.utime(_os.path.join(src, new[0]),
+                  (1_700_000_000 + order * 10,) * 2)
+
+    def start(out):
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def sink(bdf, epoch_id):
+            if not bdf.isEmpty():
+                bdf.write.mode("append").parquet(out)
+
+        return (streaming_sessions(stream, gap_minutes=30)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt).start())
+
+    out1 = str(tmp_path / "sessrst_out1")
+    out2 = str(tmp_path / "sessrst_out2")
+    write_chunk(0, n / 2, 0)
+    q1 = start(out1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    write_chunk(n / 2, n, 1)
+    q2 = start(out2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {(r["user_id"], r["event_id"]): r["session_seq"]
+           for r in spark.read.parquet(out1).collect()}
+    got2 = {(r["user_id"], r["event_id"]): r["session_seq"]
+            for r in spark.read.parquet(out2).collect()}
+    assert got.keys().isdisjoint(got2.keys())  # each event emitted once
+    got.update(got2)
+    want = {(r["user_id"], r["event_id"]): r["session_seq"]
+            for r in sessionize(events, gap_minutes=30).collect()}
+    assert len(got) == n
+    assert got == want
+
+
 def test_connected_components_chain_clique_and_canonical(spark):
     """Pairs -> clusters: a 12-link chain must collapse to its minimum
     (pointer jumping, not 1-hop propagation), a clique and an isolated
@@ -1621,6 +1780,124 @@ def test_bpe_train_matches_python_reference(spark):
         assert got_docs == exp_docs
         assert all(r["n_tokens"] == len(exp_docs[r["doc_id"]])
                    for r in out.collect())
+
+
+def _ref_bpe_batched(texts, n_rounds, batch_max, min_count, fetch):
+    """Straight-line Python replay of bpe_train_batched's contract:
+    rank by (count DESC, w1, w2), cut to top ``fetch``, greedy
+    symbol-disjoint selection, apply the batch left-to-right greedy."""
+    from collections import Counter
+
+    docs = {k: v.split(" ") for k, v in texts.items()}
+    merges = []
+    for rnd in range(n_rounds):
+        pc = Counter()
+        for d in docs.values():
+            for i in range(len(d) - 1):
+                pc[(d[i], d[i + 1])] += 1
+        ranked = sorted(((c, w1, w2) for (w1, w2), c in pc.items()
+                         if c >= min_count),
+                        key=lambda t: (-t[0], t[1], t[2]))[:fetch]
+        used, sel = set(), []
+        for c, w1, w2 in ranked:
+            if len(sel) >= batch_max:
+                break
+            if w1 in used or w2 in used:
+                continue
+            sel.append((w1, w2, c))
+            used.update((w1, w2))
+        if not sel:
+            break
+        for w1, w2, c in sel:
+            for k, d in docs.items():
+                out, i = [], 0
+                while i < len(d):
+                    if i + 1 < len(d) and d[i] == w1 and d[i + 1] == w2:
+                        out.append(w1 + "\x1f" + w2)
+                        i += 2
+                    else:
+                        out.append(d[i])
+                        i += 1
+                docs[k] = out
+            merges.append((rnd, w1, w2, c))
+    return merges, docs
+
+
+def test_bpe_train_batched_matches_python_reference(spark):
+    """Batched trainer vs a straight-line Python replay of the batched
+    contract, on a fixture engineered so rounds genuinely select
+    MULTIPLE pairs, the disjointness skip fires ((b,c) shares b with
+    the higher-ranked (a,b)), and a merged symbol re-merges next
+    round."""
+    from syslog_loose_spark.functions.text import bpe_train_batched
+
+    texts = {0: "a b a b c d c d", 1: "a b c d b c",
+             2: "e f e f a b", 3: "b c b c", 4: "g", 5: ""}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id LONG, text STRING")
+    for n_rounds, batch in ((1, 3), (2, 2), (3, 3)):
+        fetch = 3 * batch + 8
+        exp_merges, exp_docs = _ref_bpe_batched(
+            texts, n_rounds, batch, 2, fetch)
+        got_merges, out = bpe_train_batched(
+            df, n_rounds=n_rounds, batch_max=batch, min_count=2)
+        assert got_merges == exp_merges, (n_rounds, batch)
+        got_docs = {r["doc_id"]: list(r["tokens"]) for r in out.collect()}
+        assert got_docs == exp_docs, (n_rounds, batch)
+
+
+def test_bpe_train_batched_batch1_equals_exact_trainer(spark):
+    """With batch_max=1 the selection rule degenerates to bpe_train's
+    top-1 — merge table and final tokens must be IDENTICAL (the
+    differential anchor between the batched and exact trainers)."""
+    from syslog_loose_spark.functions.text import bpe_train, bpe_train_batched
+
+    texts = {0: "a b a b a b c", 1: "a b c a b c", 2: "x a b y",
+             3: "c c c c", 4: "solo", 5: ""}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id LONG, text STRING")
+    exact_merges, exact_out = bpe_train(df, n_steps=4, min_count=2)
+    got_merges, got_out = bpe_train_batched(
+        df, n_rounds=4, batch_max=1, min_count=2)
+    # exact trainer numbers merges by step; batched by round — with
+    # batch 1 those coincide, so the tuples compare directly
+    assert got_merges == exact_merges
+    assert ({r["doc_id"]: list(r["tokens"]) for r in got_out.collect()}
+            == {r["doc_id"]: list(r["tokens"])
+                for r in exact_out.collect()})
+
+
+def test_bpe_train_batched_one_collect_per_round(spark, monkeypatch):
+    """The whole point of batching: driver round-trips scale with
+    ROUNDS, not merges.  6 merges at batch_max=3 must cost exactly 2
+    pair-ranking collects (vs 6 for the exact trainer)."""
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is an
+    # abstract facade; instances are classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from syslog_loose_spark.functions.text import bpe_train_batched
+
+    texts = {0: "a b a b c d c d e f e f", 1: "a b c d e f a b c d e f"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id LONG, text STRING")
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    merges, out = bpe_train_batched(df, n_rounds=2, batch_max=3,
+                                    min_count=2)
+    assert calls["n"] == 2
+    # round 0 batches THREE disjoint merges in one job; round 1's
+    # second candidate (cd,ef) shares cd with (ab,cd) and is skipped —
+    # 4 merges for 2 driver round-trips (exact trainer: 4 jobs)
+    assert merges == [(0, "a", "b", 4), (0, "c", "d", 4),
+                      (0, "e", "f", 4), (1, "a\x1fb", "c\x1fd", 3)]
+    monkeypatch.undo()
+    out.collect()  # plan still executes after training
 
 
 def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
