@@ -324,8 +324,14 @@ def heavy_near_dup_bench(spark) -> dict:
     from syslog_loose_spark.functions.text import (
         calibrated_quality_cut_by, token_budget_cut, token_count)
 
+    # 100k docs: the md5-synthetic corpus is a worst-case vocabulary
+    # (~40 unique words/doc, so the unigram vocab agg+join sees ~4M
+    # types); 200k was measured at 118 s/run — a stable regression
+    # signal does not need that much bench budget per round
+    n_cur = 100_000
+
     def curation_v2_heavy():
-        docs = synth_docs(n_docs).withColumn(
+        docs = synth_docs(n_cur).withColumn(
             "source", F.concat(F.lit("s"), (F.col("doc_id") % 5)
                                .cast("string")))
         cut1 = calibrated_quality_cut_by(docs, group_col="source",
@@ -343,9 +349,9 @@ def heavy_near_dup_bench(spark) -> dict:
                           .alias("tok")).collect()[0]["n"])
 
     sec, cpu, busy, kept = best_of(2, curation_v2_heavy)
-    out["curation_v2_200k_docs"] = {
+    out["curation_v2_100k_docs"] = {
         "sec": sec, "machine_cpu_sec": cpu, "cores_busy": busy,
-        "rows": n_docs, "kept_docs": kept}
+        "rows": n_cur, "kept_docs": kept}
     return out
 
 
