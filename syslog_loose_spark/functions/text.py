@@ -690,7 +690,8 @@ _BPE_JOIN = "\x1f"
 
 
 def bpe_train(df, n_steps: int = 3, min_count: int = 2,
-              text_col: str = "text", id_col: str = "doc_id"):
+              text_col: str = "text", id_col: str = "doc_id",
+              checkpoint_every: int = 8):
     """Iterative BPE training at word granularity (Sennrich et al.
     2016): ``n_steps`` rounds of find-top-adjacent-pair +
     greedy-merge-everywhere, the loop a Spark-native tokenizer trainer
@@ -705,9 +706,12 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
     string (see bpe_merge_step for why replace == the greedy
     left-to-right scan).  The evolving corpus is persisted through the
     bounded dedup registry each round, so round N+1's aggregation reads
-    round N's cache instead of replaying the replace chain; a
-    production trainer at 100 TB would checkpoint every K rounds to
-    also truncate lineage.
+    round N's cache instead of replaying the replace chain; every
+    ``checkpoint_every`` rounds the corpus is localCheckpoint-ed to
+    TRUNCATE lineage — without it the plan is an ever-deepening nested
+    replace chain whose re-analysis/codegen OOMs the driver around ~30
+    rounds (measured live at 32 merges, 8 g heap), long before any
+    data-size limit.
 
     Returns (merges, tokens_df): ``merges`` a list of
     (step, w1, w2, n_pair) in application order; ``tokens_df`` the
@@ -750,6 +754,10 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
         cur = cur.withColumn(
             "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
         merges.append((step, w1, w2, int(c)))
+        if checkpoint_every and (step + 1) % checkpoint_every == 0:
+            # lineage truncation: values are unchanged, only the plan
+            # is cut, so oracles/differentials are unaffected
+            cur = cur.localCheckpoint()
     toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep)
     out = cur.select(F.col("id").alias(id_col),
                      toks.alias("tokens"),
@@ -759,7 +767,8 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
 
 def bpe_train_batched(df, n_rounds: int = 2, batch_max: int = 3,
                       min_count: int = 2, fetch: int | None = None,
-                      text_col: str = "text", id_col: str = "doc_id"):
+                      text_col: str = "text", id_col: str = "doc_id",
+                      checkpoint_every: int = 8):
     """Batched BPE training (VERDICT r6 item 2): ``bpe_train``'s
     one-merge-per-Spark-job driver loop is infeasible at a real merge
     budget (~32k merges = 32k sequential jobs), so this trainer selects
@@ -840,6 +849,8 @@ def bpe_train_batched(df, n_rounds: int = 2, batch_max: int = 3,
             scol = F.replace(scol, F.lit(pat), F.lit(rep))
         cur = cur.withColumn("s", scol)
         merges.extend((rnd, w1, w2, c) for w1, w2, c in sel)
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint()  # truncate lineage (see bpe_train)
     toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), sep)
     out = cur.select(F.col("id").alias(id_col),
                      toks.alias("tokens"),

@@ -1207,6 +1207,65 @@ def test_pq_adc_recall_on_planted_clusters(spark):
     unpersist_tracked()
 
 
+def test_streaming_dedup_restart_keeps_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state recovery (VERDICT r6 item 5,
+    third state mechanism after the custom-state totals and sessions):
+    a key first seen BEFORE the stop/restart boundary re-arriving after
+    it (within the watermark) must stay dropped — only recovered dedup
+    state can know about it — while genuinely new keys still emit."""
+    import time as _time
+    from datetime import datetime, timedelta, timezone
+
+    from syslog_loose_spark.streaming.stream import streaming_dedup
+
+    src = str(tmp_path / "ddrst_src")
+    ckpt = str(tmp_path / "ddrst_ckpt")
+    os.makedirs(src)
+    t0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+    def write(chunk, ids):
+        rows = [(i, t0 + timedelta(minutes=10 * chunk + n), f"p{chunk}")
+                for n, i in enumerate(ids)]
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, payload string"
+        ).coalesce(1).write.parquet(f"{src}/c{chunk}", mode="overwrite")
+        _time.sleep(0.05)  # mtime drives file-source discovery order
+
+    def start(out):
+        stream = (spark.readStream
+                  .schema("doc_id long, ts timestamp, payload string")
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/c*"))
+
+        def sink(bdf, epoch_id):
+            if not bdf.isEmpty():
+                bdf.write.mode("append").parquet(out)
+
+        return (streaming_dedup(stream).writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt).start())
+
+    write(0, [1, 2, 3])
+    write(1, [4, 3])            # in-phase cross-batch replay of 3
+    out1 = str(tmp_path / "ddrst_out1")
+    q1 = start(out1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert {r["doc_id"] for r in spark.read.parquet(out1).collect()} \
+        == {1, 2, 3, 4}
+
+    write(2, [2, 5])            # 2 = CROSS-RESTART replay, 5 = new
+    out2 = str(tmp_path / "ddrst_out2")
+    q2 = start(out2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} \
+        == {5}, "cross-restart replay re-emitted: dedup state lost"
+
+
 def test_streaming_dedup_drops_replays(spark, tmp_path):
     """streaming_dedup (r5): duplicate keys arriving within the
     watermark — inside one micro-batch or across batches — are dropped;
@@ -1857,8 +1916,10 @@ def test_bpe_train_batched_batch1_equals_exact_trainer(spark):
     df = spark.createDataFrame(list(texts.items()),
                                "doc_id LONG, text STRING")
     exact_merges, exact_out = bpe_train(df, n_steps=4, min_count=2)
+    # checkpoint_every=1 exercises lineage truncation every round; it
+    # must be value-invisible (localCheckpoint cuts the plan, not data)
     got_merges, got_out = bpe_train_batched(
-        df, n_rounds=4, batch_max=1, min_count=2)
+        df, n_rounds=4, batch_max=1, min_count=2, checkpoint_every=1)
     # exact trainer numbers merges by step; batched by round — with
     # batch 1 those coincide, so the tuples compare directly
     assert got_merges == exact_merges
