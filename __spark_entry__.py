@@ -3208,7 +3208,8 @@ def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bpe_train_batched(n_rounds: int = 2, batch_max: int = 3,
-                              fetch: int = 17) -> str:
+                              fetch: int = 17,
+                              tail: str | None = None) -> str:
     # One unrolled ROUND: rank pairs (count DESC, w1, w2) cut to the
     # SAME top-`fetch` the engine collects, pick up to batch_max
     # symbol-disjoint pairs with a recursive CTE over rank order, then
@@ -3264,18 +3265,21 @@ g{i} AS (SELECT a, b FROM (
 s{i + 1} AS (SELECT doc_id, {apply_s} AS s FROM s{i} s, g{i} g)"""
 
     stages = ",".join(stage(i) for i in range(n_rounds))
-    return f"""
+    with_chain = f"""
 WITH s0 AS (SELECT doc_id,
                    chr(1) || array_to_string(string_split(text, ' '),
                                              chr(2) || chr(1)) || chr(2)
                      AS s
-            FROM documents),{stages}
+            FROM documents),{stages}"""
+    if tail is None:
+        tail = f"""
 SELECT doc_id,
        CAST(len(string_split(substr(s, 2, length(s) - 2),
                              chr(2) || chr(1))) AS BIGINT) AS n_tokens,
        md5(substr(s, 2, length(s) - 2)) AS toks_md5
 FROM s{n_rounds} ORDER BY doc_id
 """
+    return with_chain + tail
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3753,6 +3757,51 @@ ORDER BY l.event_id
 """
 
 
+def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining data-prep tail composed end to end: TRAIN a
+    tokenizer on the corpus (bpe_train_batched, 2 rounds x batch 3),
+    ENCODE every document with the frozen merge list (bpe_encode — a
+    pure-map replace chain, differential-tested to reproduce the
+    trainer's tokens byte-for-byte), then PACK the token counts into
+    fixed 256-token bins (pack_sequences: md5-sharded head-to-tail
+    concatenation, the GPT-style chunking).  One driver round-trip per
+    training round; everything downstream is a single composed plan.
+    The DuckDB twin chains the batched-trainer CTE stages verbatim
+    into the packing window."""
+    from syslog_loose_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = T.bpe_train_batched(docs, n_rounds=2, batch_max=3,
+                                    min_count=2)
+    enc = T.bpe_encode(docs, merges)
+    return (pack_sequences(enc, budget=256, n_shards=8,
+                           size_col="n_tokens")
+            .select("doc_id", "shard", "bin", "offset", "n_tokens")
+            .orderBy("doc_id"))
+
+
+def _oracle_tokenize_pack() -> str:
+    shard = ("CAST(concat('0x', substr(md5('pack-' || CAST(doc_id AS "
+             "VARCHAR)), 1, 8)) AS BIGINT) % 8")
+    tail = f"""
+, tok AS (SELECT doc_id,
+                 CAST(len(string_split(substr(s, 2, length(s) - 2),
+                                       chr(2) || chr(1))) AS BIGINT)
+                   AS n_tokens
+          FROM s2)
+SELECT doc_id, shard, CAST(cum_before // 256 AS BIGINT) AS bin,
+       CAST(cum_before % 256 AS BIGINT) AS offset, n_tokens FROM (
+  SELECT doc_id, {shard} AS shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY {shard}
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM tok)
+ORDER BY doc_id
+"""
+    return _oracle_bpe_train_batched(tail=tail)
+
+
 def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-salted as-of join (joins.asof_join salt=8, VERDICT r6
     item 6): the left stream spreads across 8 content-derived
@@ -4201,19 +4250,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-window contract (VERDICT r5 item 1): the driver's
     CORRECTNESS artifact covers exactly the FIRST 50 dict entries
     (proven empirically in r4 and r5), so dict ORDER is load-bearing.
-    Round-7 rotation (VERDICT r6 items 1+8): the 2 never-driver-
+    Round-7 rotation (VERDICT r6 items 1+8): the 3 never-driver-
     verified queries lead; then the r6-changed ANN trio + 20 more of
-    the 40 r5-green rotated-out entries re-enter; 25 r6-green rows
+    the 40 r5-green rotated-out entries re-enter; 24 r6-green rows
     (including every operator whose code changed this round —
     heavy_hitters, weighted_sample, asof_join — plus the regression-
     watch and core-pipeline queries) keep the window.  Past position
-    50: the 17 remaining r5-greens re-enter in r8, then the 25
+    50: events_sessionize (r6-green, displaced by tokenize_pack), the
+    17 remaining r5-greens that re-enter in r8, then the other 25
     r6-greens.  tools/check_driver_window.py audits the rotation each
     round and appends the plan to PROGRESS.jsonl."""
     return {
         # --- new this round (never driver-verified) ---
         "bpe_train_batched": q_bpe_train_batched,
         "asof_join_salted": q_asof_join_salted,
+        "tokenize_pack": q_tokenize_pack,
         # --- r6-changed ANN builds (VERDICT item 1: need fresh rows) ---
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
@@ -4316,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_train_batched": _oracle_bpe_train_batched(),
+        "tokenize_pack": _oracle_tokenize_pack(),
         # salted path must equal the plain path exactly, so the SAME
         # native ASOF JOIN oracle applies — a driver-level equality
         # proof between the two engine strategies

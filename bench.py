@@ -460,9 +460,10 @@ def main() -> None:
              "bigram_backoff", "sq8_quantize", "winnow_near_dups",
              "zipf_slope", "asof_join", "range_join",
              "token_budget_cut", "curation_v2", "sq8_topk",
-             # r7 additions: batched BPE trainer (one collect per ROUND)
-             # and the hot-key-salted as-of join
-             "bpe_train_batched", "asof_join_salted")
+             # r7 additions: batched BPE trainer (one collect per ROUND),
+             # the hot-key-salted as-of join, and the train->encode->pack
+             # pretraining-tail composition
+             "bpe_train_batched", "asof_join_salted", "tokenize_pack")
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
