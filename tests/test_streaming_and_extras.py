@@ -1905,6 +1905,37 @@ def test_bpe_train_batched_matches_python_reference(spark):
         assert got_docs == exp_docs, (n_rounds, batch)
 
 
+def test_bpe_train_batched_seeded_random_corpora(spark):
+    """Seeded randomized differential: 8 random corpora (small alphabet
+    so pair counts collide and tie-breaks/disjointness-skips fire
+    constantly) x varying (n_rounds, batch_max) vs the pure-Python
+    replay of the batched contract."""
+    import random
+
+    from syslog_loose_spark.functions.text import bpe_train_batched
+
+    rng = random.Random(11)
+    alpha = ["a", "b", "c", "d", "e"]
+    for trial in range(8):
+        texts = {i: " ".join(rng.choice(alpha)
+                             for _ in range(rng.randint(0, 24)))
+                 for i in range(14)}
+        n_rounds = rng.randint(1, 3)
+        batch = rng.randint(1, 4)
+        fetch = 3 * batch + 8
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id LONG, text STRING")
+        exp_merges, exp_docs = _ref_bpe_batched(
+            texts, n_rounds, batch, 2, fetch)
+        got_merges, out = bpe_train_batched(
+            df, n_rounds=n_rounds, batch_max=batch, min_count=2)
+        assert got_merges == exp_merges, (trial, n_rounds, batch)
+        got_docs = {r["doc_id"]: list(r["tokens"])
+                    for r in out.collect()}
+        # empty docs: Spark split('') and the replay both yield ['']
+        assert got_docs == exp_docs, (trial, n_rounds, batch)
+
+
 def test_bpe_train_batched_batch1_equals_exact_trainer(spark):
     """With batch_max=1 the selection rule degenerates to bpe_train's
     top-1 — merge table and final tokens must be IDENTICAL (the
@@ -2658,11 +2689,12 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     for tol in (None, 86_400):
-        got = {r["event_id"]: r["ref_rid"]
-               for r in asof_join(ldf, rdf, right_cols=("rid",),
-                                  tolerance=tol)
-               .select("event_id", "ref_rid").collect()}
-        assert got == expected(tol), f"tolerance={tol}"
+        for salt in (None, 8):   # salted path: same 800 comparisons
+            got = {r["event_id"]: r["ref_rid"]
+                   for r in asof_join(ldf, rdf, right_cols=("rid",),
+                                      tolerance=tol, salt=salt)
+                   .select("event_id", "ref_rid").collect()}
+            assert got == expected(tol), f"tolerance={tol} salt={salt}"
 
 
 def test_asof_join_salted_equals_plain_and_guards_names(spark):
