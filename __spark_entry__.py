@@ -3909,16 +3909,19 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cut1 = T.calibrated_quality_cut_by(docs, group_col="source",
                                        keep_ppm=700_000)
-    # survivor relations (kept1/kept2) feed multiple consumers but are
-    # deliberately NOT persisted: the stage operators already cache
-    # their expensive internals (scores, fingerprints) through _track,
-    # so the replayed portions are cheap joins — an interleaved A/B at
-    # sf0.1 measured persisting them as pure noise (13.7 vs 13.5 s)
-    kept1 = docs.join(cut1.where(F.col("kept") == 1).select("doc_id"),
-                      "doc_id")
+    # survivor relations (kept1/kept2) feed multiple consumers and ARE
+    # persisted (r7 reversal of the r6 choice): at sf0.1 an interleaved
+    # A/B measured it as noise (13.7 vs 13.5 s — the replays are cheap
+    # there), but at 100k worst-case-vocab docs the same A/B measured
+    # 2.1x (19-22 s vs 40-51 s) — the stage replays dominate at scale,
+    # and the registry bound is sized so nothing is evicted mid-plan
+    kept1 = D._track(
+        docs.join(cut1.where(F.col("kept") == 1).select("doc_id"),
+                  "doc_id"))
     pairs = D.winnow_near_dups(kept1, k=4, w=5, min_shared=1)
-    kept2 = kept1.join(pairs.select(F.col("b").alias("doc_id"))
-                       .distinct(), "doc_id", "left_anti")
+    kept2 = D._track(
+        kept1.join(pairs.select(F.col("b").alias("doc_id"))
+                   .distinct(), "doc_id", "left_anti"))
     cut2 = T.token_budget_cut(kept2, budget_ppm=600_000)
     final = kept2.join(cut2.where(F.col("kept") == 1).select("doc_id"),
                        "doc_id")

@@ -330,17 +330,21 @@ def heavy_near_dup_bench(spark) -> dict:
     # signal does not need that much bench budget per round
     n_cur = 100_000
 
+    from syslog_loose_spark.functions.dedup import _track
+
     def curation_v2_heavy():
         docs = synth_docs(n_cur).withColumn(
             "source", F.concat(F.lit("s"), (F.col("doc_id") % 5)
                                .cast("string")))
         cut1 = calibrated_quality_cut_by(docs, group_col="source",
                                          keep_ppm=700_000)
-        kept1 = docs.join(cut1.where(F.col("kept") == 1)
-                          .select("doc_id"), "doc_id")
+        # survivors persisted (r7: 2.1x at this scale — see
+        # q_curation_v2's docstring and BASELINE.md)
+        kept1 = _track(docs.join(cut1.where(F.col("kept") == 1)
+                                 .select("doc_id"), "doc_id"))
         pairs = winnow_near_dups(kept1, k=4, w=5, min_shared=2)
-        kept2 = kept1.join(pairs.select(F.col("b").alias("doc_id"))
-                           .distinct(), "doc_id", "left_anti")
+        kept2 = _track(kept1.join(pairs.select(F.col("b").alias("doc_id"))
+                                  .distinct(), "doc_id", "left_anti"))
         cut2 = token_budget_cut(kept2, budget_ppm=600_000)
         final = kept2.join(cut2.where(F.col("kept") == 1)
                            .select("doc_id"), "doc_id")

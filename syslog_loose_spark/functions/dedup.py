@@ -37,7 +37,14 @@ MERSENNE = 2147483647  # 2^31-1, the classic MinHash modulus
 # eviction is always correct), and callers that know a result is fully
 # materialized can drop everything with unpersist_tracked().
 _PERSISTED: list = []
-_MAX_LIVE = 2
+# Bound raised 2 -> 5 in r7: the curation_v2 composition legitimately
+# carries 5 live stage caches (two scored relations, the winnow
+# fingerprints, and both survivor relations); with the bound at 2 the
+# survivors were evicted at plan-build time and the composition REPLAYED
+# the expensive stages — interleaved A/B at 100k worst-case-vocab docs
+# measured 2.1x (19-22 s full cache vs 40-51 s evicting).  Still a hard
+# bound: a long-lived session never holds more than 5 live caches.
+_MAX_LIVE = 5
 _PERSISTED_LOCK = threading.Lock()
 
 
