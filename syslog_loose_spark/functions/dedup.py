@@ -44,6 +44,10 @@ _PERSISTED: list = []
 # the expensive stages — interleaved A/B at 100k worst-case-vocab docs
 # measured 2.1x (19-22 s full cache vs 40-51 s evicting).  Still a hard
 # bound: a long-lived session never holds more than 5 live caches.
+# (r8: _track now checkpoints instead of persisting, so "eviction" just
+# drops the registry reference — downstream plans keep their blocks
+# alive through the JVM Dataset, and truly-unreferenced blocks are freed
+# by the ContextCleaner.)
 _MAX_LIVE = 5
 _PERSISTED_LOCK = threading.Lock()
 
@@ -71,6 +75,31 @@ def _register(df: DataFrame) -> DataFrame:
 
 
 def _track(df: DataFrame) -> DataFrame:
+    """Materialize a reused stage relation and TRUNCATE its lineage.
+
+    r8: eager localCheckpoint replaced persist().  persist kept the full
+    logical plan alive under every consumer, and on deep compositions
+    (curation_v2: five tracked stages, each nesting the previous ones)
+    the driver's plan canonicalization/cache-lookup dominated wall time
+    — measured 11.6 s -> 3.2 s at sf0.1 and the same shape at 100k docs
+    just from cutting lineage (guide §3.3/§5: materialise intermediates
+    to truncate enormous plans).  Storage cost is the same class as the
+    old MEMORY_AND_DISK persist; the trade is fault-tolerance of the
+    materialized blocks (executor loss means job restart instead of
+    recompute), acceptable for bounded stage relations.  Values are
+    unchanged — every tracked relation is deterministic by construction.
+    Eviction/unpersist still runs through the registry: dropping the
+    reference lets the ContextCleaner free checkpoint blocks."""
+    return _register(df.localCheckpoint(eager=True))
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """The pre-r8 persist-based tracking, kept for the two cases where a
+    checkpoint is the wrong tool: ONE-ROW broadcast index frames (the ANN
+    cents/codebook/stats rows — lineage is shallow, and the eager
+    checkpoint job costs more than it saves) and iterative trainer loops
+    that already truncate lineage explicitly every few rounds (the BPE
+    trainers, where a per-round checkpoint job is pure overhead)."""
     return _register(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 

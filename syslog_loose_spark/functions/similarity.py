@@ -364,10 +364,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, m: int = 8,
     — while the shortlist join touches only rerank×queries true vectors,
     preserving the memory win."""
     d_sub = dim // m
-    from .dedup import _track
+    from .dedup import _track_persist
 
-    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
-                                 train_n=train_n))
+    cb_one = _track_persist(
+        pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
+                     train_n=train_n))
 
     chosen = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -564,9 +565,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
         # corpus-wide Lloyd pass executes once per consumer (verified in
         # the executed plan: no ReusedExchange).  Registered in the
         # bounded cache registry like the near-dup relations.
-        from .dedup import _track
+        from .dedup import _track_persist
 
-        cents_one = _track(cents_one)
+        cents_one = _track_persist(cents_one)
 
     def scored_cells(vec: Column, vn: Column) -> Column:
         return _ivf_scored_cells(vec, vn)
@@ -629,7 +630,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     is m table lookups instead of a dim-wide dot.  ``rerank`` refines the
     shortlist against true vectors (the standard final stage)."""
     d_sub = dim // m
-    from .dedup import _track
+    from .dedup import _track_persist
 
     train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
     cents_one = _ivf_cents_one(
@@ -637,9 +638,10 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     for _ in range(lloyd_rounds):
         cents_one = _ivf_cents_one(
             _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
-    cents_one = _track(cents_one)
-    cb_one = _track(pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
-                                 train_n=train_n))
+    cents_one = _track_persist(cents_one)
+    cb_one = _track_persist(
+        pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
+                     train_n=train_n))
     index_one = cents_one.crossJoin(cb_one)  # one row: cents + cb arrays
 
     chosen = F.transform(
@@ -728,7 +730,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
 
     Returns (id_col, cell, kept) for ALL rows — kept is 0/1 so
     downstream can anti-join or re-threshold without a rescan."""
-    from .dedup import _track
+    from .dedup import _track, _track_persist
 
     train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
     cents_one = _ivf_cents_one(
@@ -737,7 +739,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
         cents_one = _ivf_cents_one(
             _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
     if lloyd_rounds:
-        cents_one = _track(cents_one)
+        cents_one = _track_persist(cents_one)
     assigned = _track(
         corpus.crossJoin(F.broadcast(cents_one))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
@@ -844,9 +846,9 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     adc-dot / (|q| * reconstructed-|x_hat|), ties on neighbor_id;
     ``rerank`` adds the standard exact-refinement stage
     (_exact_rerank) touching only shortlist rows."""
-    from .dedup import _track
+    from .dedup import _track_persist
 
-    st_one = _track(_sq8_stats_one(corpus, vec_col))
+    st_one = _track_persist(_sq8_stats_one(corpus, vec_col))
     v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     codes = F.expr(
         "transform(v, (x, i) -> CASE"

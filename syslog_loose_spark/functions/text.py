@@ -716,7 +716,7 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
     Returns (merges, tokens_df): ``merges`` a list of
     (step, w1, w2, n_pair) in application order; ``tokens_df`` the
     final (id, tokens array<string>, n_tokens) per document."""
-    from .dedup import _track
+    from .dedup import _track_persist
 
     sep = _BPE_CLOSE + _BPE_OPEN
     s0 = F.concat(F.lit(_BPE_OPEN),
@@ -733,7 +733,7 @@ def bpe_train(df, n_steps: int = 3, min_count: int = 2,
         cur = cur.repartition(par)
     merges: list = []
     for step in range(n_steps):
-        cur = _track(cur)
+        cur = _track_persist(cur)
         toks = F.split(
             F.expr("substring(s, 2, length(s) - 2)"), sep)
         pairs = (cur.select(F.explode(F.when(
@@ -802,7 +802,7 @@ def bpe_train_batched(df, n_rounds: int = 2, batch_max: int = 3,
     so a 32k-merge vocabulary costs ~32k/batch_max jobs instead of 32k.
     Returns (merges, tokens_df) like bpe_train; merges rows are
     (round, w1, w2, n_pair) in application order."""
-    from .dedup import _track
+    from .dedup import _track_persist
 
     if fetch is None:
         fetch = 3 * batch_max + 8
@@ -816,7 +816,7 @@ def bpe_train_batched(df, n_rounds: int = 2, batch_max: int = 3,
         cur = cur.repartition(par)
     merges: list = []
     for rnd in range(int(n_rounds)):
-        cur = _track(cur)
+        cur = _track_persist(cur)
         toks = F.split(
             F.expr("substring(s, 2, length(s) - 2)"), sep)
         ranked = (cur.select(F.explode(F.when(
