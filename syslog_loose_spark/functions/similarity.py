@@ -268,10 +268,190 @@ def _pq_train_sample(corpus: DataFrame, id_col: str, train_n: int,
             .orderBy("_ptag", id_col).limit(train_n).drop("_ptag"))
 
 
+# ---------------------------------------------------------------------------
+# driver-side bounded index builds (r8).
+#
+# The ANN index builds train on md5-sampled prefixes BOUNDED by
+# construction (train_n, default 2^16 rows) — the same bounded-collect
+# contract as connected_components' <=2^20-edge fast path.  Running the
+# build as a chain of 6-10 tiny Spark stages cost ~2 s of pure scheduling
+# latency per index at any data size (guide §1.2: fix the distributed
+# algorithm first — here the right algorithm is ONE bounded TakeOrdered
+# collect + an exact in-driver replay, since the training input never
+# exceeds train_n rows no matter the corpus size).  Every float op below
+# replays the engine expression ORDER exactly (left-to-right folds,
+# (s/n)/1e6 division order, half-up rounding), so the built index — and
+# therefore every downstream query row — is bit-identical to the
+# distributed build; tests pin the equivalence on the real fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _np():
+    import numpy as np
+    return np
+
+
+def _round_half_up_np(a, digits: int):
+    """Replay Spark's ROUND(double, d) (BigDecimal HALF_UP on the
+    double's decimal string) vectorized: fast floor(|x|*10^d + 0.5) path,
+    with an exact Decimal re-check for values within ~1e-9 of a rounding
+    boundary (where the double multiply could flip the half)."""
+    np = _np()
+    scale = 10.0 ** digits
+    scaled = a * scale
+    absn = np.abs(scaled)
+    fast = np.floor(absn + 0.5)
+    out = np.sign(scaled) * fast / scale
+    frac = absn - np.floor(absn)
+    risky = np.abs(frac - 0.5) < 1e-9
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal(1).scaleb(-digits)
+        flat_idx = np.nonzero(risky)
+        for ix in zip(*flat_idx):
+            out[ix] = float(Decimal(repr(float(a[ix])))
+                            .quantize(q, rounding=ROUND_HALF_UP))
+    return out
+
+
+def _fold_dot(A, B):
+    """Left-to-right fold of elementwise products (the engine's
+    F.aggregate(zip_with(a, b, *), 0.0, +) order), vectorized across
+    rows of A.  B may be a vector (d,) or matrix (n, d)."""
+    np = _np()
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for t in range(A.shape[1]):
+        acc = acc + A[:, t] * (B[t] if B.ndim == 1 else B[:, t])
+    return acc
+
+
+def _fold_sq_dist(A, c):
+    """Left-to-right fold of (x-y)^2 (the engine's _sq_dist order)."""
+    np = _np()
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for t in range(A.shape[1]):
+        d = A[:, t] - c[t]
+        acc = acc + d * d
+    return acc
+
+
+def _fold_norm(v):
+    """sqrt of the left-to-right self-dot fold for ONE vector."""
+    import math
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _quantized_means(members):
+    """The engine's integer-quantized exact mean for one cell/codeword:
+    per dim, SUM(FLOOR(v * 1e6)) as int64, then (double(s) / n) / 1e6 —
+    order-independent, so the driver replay is exact by construction.
+    ``members``: (n, d) float64 array, n >= 1."""
+    np = _np()
+    s = np.floor(members * 1000000.0).astype(np.int64).sum(
+        axis=0, dtype=np.int64)
+    n = members.shape[0]
+    return [(float(si) / n) / 1000000.0 for si in s]
+
+
+def _pq_codebooks_local(spark, rows, m: int, ks: int, dim: int):
+    """Driver replay of the distributed pq_codebooks over the collected
+    (bounded) training sample.  Returns the same ONE-row ``cb`` frame."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    np = _np()
+    d_sub = dim // m
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    cb = []
+    for s in range(m):
+        X = V[:, s * d_sub:(s + 1) * d_sub]
+        # seeds: ks sample rows with the smallest (md5 tag, id) per sub
+        tags = [(hashlib.md5(f"pq-seed-{s}-{i}".encode()).hexdigest(), i,
+                 row)
+                for row, i in enumerate(ids)]
+        tags.sort(key=lambda t: (t[0], t[1]))
+        seed_rows = [row for _, _, row in tags[:ks]]
+        C = X[seed_rows]                      # (k', d_sub) seed codewords
+        kk = C.shape[0]
+        # assignment: argmin of the left-to-right (x-y)^2 fold, ties to
+        # the smaller code (the engine's array_min over struct(d, code))
+        best_d = np.full(len(X), np.inf)
+        best_j = np.zeros(len(X), dtype=np.int64)
+        for j in range(kk):
+            dj = _fold_sq_dist(X, C[j])
+            take = dj < best_d
+            best_d = np.where(take, dj, best_d)
+            best_j = np.where(take, j, best_j)
+        for code in range(kk):
+            members = X[best_j == code]
+            cvec = (_quantized_means(members) if len(members)
+                    else [float(x) for x in C[code]])
+            acc = 0.0
+            for x in cvec:
+                acc = acc + x * x
+            cb.append((s, code, cvec, acc))
+    schema = T.StructType([T.StructField("cb", T.ArrayType(T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("cvec", T.ArrayType(T.DoubleType())),
+        T.StructField("cn2", T.DoubleType())])))])
+    return spark.createDataFrame([(sorted(cb),)], schema)
+
+
+def _ivf_cents_one_local(corpus: DataFrame, id_col: str, vec_col: str,
+                         n_cells: int, lloyd_rounds: int,
+                         train_n: int) -> DataFrame:
+    """Driver replay of seed + Lloyd-refined IVF centroids (bounded by
+    n_cells seeds + the train_n sample).  Returns the same ONE-row
+    ``cents`` frame as _ivf_cents_one(_ivf_lloyd_refine(...))."""
+    from pyspark.sql import types as T
+
+    np = _np()
+    spark = corpus.sparkSession
+    seeds = (_ivf_seed_cents(corpus, id_col, vec_col, n_cells)).collect()
+    # _ivf_cents_one sorts its struct array by cid
+    cents = sorted((int(r["cid"]), [float(x) for x in r["cvec"]])
+                   for r in seeds)
+    if lloyd_rounds:
+        train = (_pq_train_sample(corpus, id_col, train_n, "ivf-train-")
+                 .select(vec_col).collect())
+        V = np.array([r[0] for r in train], dtype=np.float64)
+        vn = np.array([_fold_norm(v) for v in V])
+        for _ in range(lloyd_rounds):
+            best_s = np.full(len(V), -np.inf)
+            best_c = np.zeros(len(V), dtype=np.int64)
+            for i, (_cid, cvec) in enumerate(cents):
+                ncv = _fold_norm(cvec)
+                sim = _round_half_up_np(
+                    _fold_dot(V, np.array(cvec)) / (vn * ncv), 6)
+                # array_max over struct(sim, cell): ties -> larger cell
+                take = sim >= best_s
+                best_s = np.where(take, sim, best_s)
+                best_c = np.where(take, i, best_c)
+            nxt = []
+            for i in range(len(cents)):
+                members = V[best_c == i]
+                if len(members):              # empty cells drop + compact
+                    nxt.append((i, _quantized_means(members)))
+            cents = sorted(nxt)
+    out = [(cid, cvec, _fold_norm(cvec)) for cid, cvec in cents]
+    schema = T.StructType([T.StructField("cents", T.ArrayType(
+        T.StructType([T.StructField("cid", T.LongType()),
+                      T.StructField("cvec", T.ArrayType(T.DoubleType())),
+                      T.StructField("ncv", T.DoubleType())])))])
+    return spark.createDataFrame([(out,)], schema)
+
+
 def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
                  dim: int = 64, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 train_n: int = 1 << 16) -> DataFrame:
+                 train_n: int = 1 << 16,
+                 driver_build: bool | None = None) -> DataFrame:
     """Product-quantization codebooks: ``m`` subspaces × ``ks`` codewords,
     as ONE broadcastable row (column ``cb`` = array<struct<sub, code,
     cvec, cn2>> sorted by (sub, code); cn2 = |cvec|² precomputed so the
@@ -292,7 +472,23 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
     and the Lloyd round never see more than train_n rows each — the
     encode pass in pq_topk is the only stage that must see every row.
     Raise it (e.g. 1<<20) for production corpora; 0/None trains on the
-    full input."""
+    full input.
+
+    r8: with a bounded ``train_n`` the whole build runs DRIVER-SIDE on
+    the collected sample (one TakeOrdered job instead of ~8 scheduling-
+    latency-bound stages, ~2 s saved per index at any corpus size); the
+    replay is float-op-exact, pinned by the differential test against
+    this distributed path, which remains the train_n=0 implementation
+    (``driver_build=False`` forces the distributed path — the tests'
+    equivalence reference)."""
+    if driver_build is None:
+        driver_build = bool(train_n)
+    if driver_build and train_n:
+        rows = (_pq_train_sample(corpus, id_col, train_n)
+                .select(id_col, vec_col).collect())
+        return _pq_codebooks_local(corpus.sparkSession,
+                                   [(r[0], r[1]) for r in rows],
+                                   m, ks, dim)
     d_sub = dim // m
     sv = _pq_subvectors(_pq_train_sample(corpus, id_col, train_n),
                         m, d_sub, id_col, vec_col)
@@ -553,21 +749,34 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     # same bounded-build contract as pq_codebooks (centroid quality
     # converges at ~10^5-10^6 vectors; the per-row cell ASSIGNMENT below
     # still sees every row)
-    train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
-    cents_one = _ivf_cents_one(
-        _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
-    for _ in range(lloyd_rounds):
-        cents_one = _ivf_cents_one(
-            _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
-    if lloyd_rounds:
-        # the refined one-row frame feeds TWO broadcasts (corpus
-        # assignment + query probing); without a persist the whole
-        # corpus-wide Lloyd pass executes once per consumer (verified in
-        # the executed plan: no ReusedExchange).  Registered in the
-        # bounded cache registry like the near-dup relations.
+    if train_n:
+        # r8: bounded training input -> the seed+Lloyd chain runs
+        # driver-side on the collected sample (exact replay; one bounded
+        # TakeOrdered collect instead of a multi-stage chain).  The
+        # one-row result is PERSISTED, not left as a LocalRelation —
+        # ConvertToLocalRelation would constant-fold the centroid array
+        # into every consuming lambda tree (the r2 plan-literal
+        # pathology, re-measured here: 4.5 s -> 12 s when inlined)
         from .dedup import _track_persist
 
-        cents_one = _track_persist(cents_one)
+        cents_one = _track_persist(_ivf_cents_one_local(
+            corpus, id_col, vec_col, n_cells, lloyd_rounds, train_n))
+    else:
+        train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
+        cents_one = _ivf_cents_one(
+            _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
+        for _ in range(lloyd_rounds):
+            cents_one = _ivf_cents_one(
+                _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
+        if lloyd_rounds:
+            # the refined one-row frame feeds TWO broadcasts (corpus
+            # assignment + query probing); without a persist the whole
+            # corpus-wide Lloyd pass executes once per consumer (verified
+            # in the executed plan: no ReusedExchange).  Registered in
+            # the bounded cache registry like the near-dup relations.
+            from .dedup import _track_persist
+
+            cents_one = _track_persist(cents_one)
 
     def scored_cells(vec: Column, vn: Column) -> Column:
         return _ivf_scored_cells(vec, vn)
@@ -632,16 +841,26 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
     d_sub = dim // m
     from .dedup import _track_persist
 
-    train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
-    cents_one = _ivf_cents_one(
-        _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
-    for _ in range(lloyd_rounds):
+    if train_n:
+        # r8 driver-side bounded builds (see ivf_topk/pq_codebooks);
+        # persisted so the one-row frames stay relations instead of
+        # being constant-folded into the choose/ADC lambda trees
+        cents_one = _track_persist(_ivf_cents_one_local(
+            corpus, id_col, vec_col, n_cells, lloyd_rounds, train_n))
+        cb_one = _track_persist(
+            pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
+                         train_n=train_n))
+    else:
+        train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
         cents_one = _ivf_cents_one(
-            _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
-    cents_one = _track_persist(cents_one)
-    cb_one = _track_persist(
-        pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
-                     train_n=train_n))
+            _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
+        for _ in range(lloyd_rounds):
+            cents_one = _ivf_cents_one(
+                _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
+        cents_one = _track_persist(cents_one)
+        cb_one = _track_persist(
+            pq_codebooks(corpus, m, ks, dim, id_col, vec_col,
+                         train_n=train_n))
     index_one = cents_one.crossJoin(cb_one)  # one row: cents + cb arrays
 
     chosen = F.transform(
@@ -732,14 +951,20 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     downstream can anti-join or re-threshold without a rescan."""
     from .dedup import _track, _track_persist
 
-    train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
-    cents_one = _ivf_cents_one(
-        _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
-    for _ in range(lloyd_rounds):
+    if train_n:
+        # r8 driver-side bounded centroid build (see ivf_topk; persisted
+        # against LocalRelation constant folding)
+        cents_one = _track_persist(_ivf_cents_one_local(
+            corpus, id_col, vec_col, n_cells, lloyd_rounds, train_n))
+    else:
+        train = _pq_train_sample(corpus, id_col, train_n, "ivf-train-")
         cents_one = _ivf_cents_one(
-            _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
-    if lloyd_rounds:
-        cents_one = _track_persist(cents_one)
+            _ivf_seed_cents(corpus, id_col, vec_col, n_cells))
+        for _ in range(lloyd_rounds):
+            cents_one = _ivf_cents_one(
+                _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
+        if lloyd_rounds:
+            cents_one = _track_persist(cents_one)
     assigned = _track(
         corpus.crossJoin(F.broadcast(cents_one))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

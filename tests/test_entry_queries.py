@@ -248,3 +248,46 @@ def test_ann_train_sample_differential_subcorpus(name, engine, spark, duck):
     want = sorted((r[0], r[1], r[2])
                   for r in duck.execute(sql).fetchall())
     assert got == want
+
+
+def test_ann_driver_build_bit_equal_distributed(spark):
+    """r8: with a bounded train_n the PQ codebook and IVF centroid
+    builds run driver-side on the collected md5 sample (one TakeOrdered
+    job instead of a multi-stage chain).  The replay must be FLOAT-OP
+    EXACT: every cvec/cn2/ncv value bit-equal to the distributed build
+    it replaced (left-to-right folds, (s/n)/1e6 division order, half-up
+    rounding), across train_n regimes and Lloyd depths incl. the
+    0-round seeds-only path."""
+    from syslog_loose_spark.functions import similarity as S
+    from syslog_loose_spark.functions.dedup import unpersist_tracked
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    for train_n in (1 << 16, 100):
+        loc = S.pq_codebooks(emb, train_n=train_n).collect()[0]["cb"]
+        ref = S.pq_codebooks(emb, train_n=train_n,
+                             driver_build=False).collect()[0]["cb"]
+        assert len(loc) == len(ref)
+        for a, b in zip(loc, ref):
+            assert (a["sub"], a["code"]) == (b["sub"], b["code"])
+            assert list(a["cvec"]) == [float(x) for x in b["cvec"]], \
+                (train_n, a["sub"], a["code"])
+            assert a["cn2"] == b["cn2"]
+        for n_cells, rounds in ((16, 1), (8, 2), (8, 0)):
+            loc = S._ivf_cents_one_local(
+                emb, "vec_id", "embedding", n_cells, rounds,
+                train_n).collect()[0]["cents"]
+            ref_c = S._ivf_cents_one(
+                S._ivf_seed_cents(emb, "vec_id", "embedding", n_cells))
+            train = S._pq_train_sample(emb, "vec_id", train_n,
+                                       "ivf-train-")
+            for _ in range(rounds):
+                ref_c = S._ivf_cents_one(S._ivf_lloyd_refine(
+                    train, ref_c, "vec_id", "embedding"))
+            ref = ref_c.collect()[0]["cents"]
+            assert len(loc) == len(ref), (train_n, n_cells, rounds)
+            for a, b in zip(loc, ref):
+                assert int(a["cid"]) == int(b["cid"])
+                assert list(a["cvec"]) == [float(x) for x in b["cvec"]], \
+                    (train_n, n_cells, rounds, a["cid"])
+                assert a["ncv"] == b["ncv"]
+        unpersist_tracked()

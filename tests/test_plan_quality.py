@@ -274,8 +274,15 @@ def test_pq_codebook_trains_on_bounded_sample(spark):
     from syslog_loose_spark.functions import similarity as S
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # r8: the sampled build collects the bounded TakeOrdered sample and
+    # replays the build driver-side — the returned frame is a literal
+    # one-row relation; the TakeOrderedAndProject shape claim moves to
+    # the distributed reference path (train_n set, driver_build off)
     plan = _plan(S.pq_codebooks(emb, m=4, ks=8, dim=16, train_n=100))
-    assert "TakeOrderedAndProject" in plan, plan
+    assert ("ExistingRDD" in plan) or ("LocalTableScan" in plan), plan
+    plan_dist = _plan(S.pq_codebooks(emb, m=4, ks=8, dim=16, train_n=100,
+                                     driver_build=False))
+    assert "TakeOrderedAndProject" in plan_dist, plan_dist
 
     tag = F.md5(F.concat(F.lit("pq-train-"),
                          F.col("vec_id").cast("string")))
