@@ -209,8 +209,13 @@ def unigram_logprob_stats(df, text_col: str = "text",
     w = df.select(F.col(id_col).alias("id"),
                   F.explode(words(F.col(text_col))).alias("wd"))
     tf = w.groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf"))
-    freq = tf.groupBy("wd").agg(F.sum("tf").alias("c"))
-    total = freq.agg(F.sum("c").alias("total"))
+    # r8: freq aggregates the token stream DIRECTLY (one wd shuffle with
+    # map-side partial aggregation instead of the tf->freq two-shuffle
+    # chain; SUM(tf) == COUNT(*) exactly, and the oracle's f-CTE counts
+    # the same way), and total is a plain count of the token stream
+    # (SUM over freq of c == COUNT(w) — drops a full vocabulary shuffle)
+    freq = w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    total = w.agg(F.count(F.lit(1)).alias("total"))
     lp = (freq.crossJoin(F.broadcast(total))
           .select("wd",
                   F.round(F.log(F.col("c").cast("double")
@@ -1108,8 +1113,10 @@ def calibrated_quality_cut_by(df, group_col: str = "source",
                   F.col(group_col).alias("grp"),
                   F.explode(words(F.col(text_col))).alias("wd"))
     tf = w.groupBy("id", "grp", "wd").agg(F.count(F.lit(1)).alias("tf"))
-    freq = tf.groupBy("wd").agg(F.sum("tf").alias("c"))
-    total = freq.agg(F.sum("c").alias("total"))
+    # r8: freq/total straight off the token stream (see
+    # unigram_logprob_stats — exact, one shuffle less each)
+    freq = w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    total = w.agg(F.count(F.lit(1)).alias("total"))
     lp = (freq.crossJoin(F.broadcast(total))
           .select("wd",
                   F.round(F.log(F.col("c").cast("double")

@@ -91,7 +91,10 @@ def run_pipeline(spark: SparkSession, tokens_df: DataFrame, out_dir: str,
     chunk_key = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks))
     n_done = 0
     for c in todo:
-        chunk_in = tokens_df.where(chunk_key == c)   # pre-parse pruning
+        # pre-parse pruning; with a single chunk the predicate is a
+        # tautology — skip the per-row xxhash64 filter entirely
+        chunk_in = (tokens_df if n_chunks == 1
+                    else tokens_df.where(chunk_key == c))
         routed = parsed_pipeline(chunk_in, cfg)
         chunk_dir = os.path.join(routed_dir(out_dir), f"chunk={c}")
         with _phase(timings, "parse_route_write"):
