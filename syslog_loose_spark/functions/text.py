@@ -458,9 +458,14 @@ def tfidf_top_terms(df, k: int = 5, text_col: str = "text",
     terms.  Returns (id, term, tf, idf_mn, score, rank)."""
     from pyspark.sql import Window
 
+    from .dedup import _track
+
     w = df.select(F.col(id_col).alias("id"),
                   F.explode(words(F.col(text_col))).alias("wd"))
-    tf = w.groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf"))
+    # r8: tf feeds BOTH the document-frequency agg and the idf join —
+    # materialized once (bounded: distinct terms per doc) instead of
+    # replaying the corpus explode per consumer
+    tf = _track(w.groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("wd").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -892,9 +897,15 @@ def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
                         F.element_at(ws, i).alias("w1"),
                         F.element_at(ws, i + 1).alias("w2")))
     ).otherwise(F.array())).alias("p")).select("p.w1", "p.w2")
-    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    uni = (df.select(F.explode(ws).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    from .dedup import _track
+
+    # r8: cxy feeds the bigram total AND the scored join; uni feeds the
+    # token total AND both unigram joins — each materialized once
+    # instead of replaying its corpus explode per consumer
+    cxy = _track(bg.groupBy("w1", "w2")
+                 .agg(F.count(F.lit(1)).alias("n_pair")))
+    uni = _track(df.select(F.explode(ws).alias("w"))
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
     tot = (uni.agg(F.sum("cu").cast("double").alias("t_tok"))
            .crossJoin(cxy.agg(F.sum("n_pair").cast("double")
                               .alias("t_bg"))))
@@ -943,17 +954,27 @@ def nb_lang_classifier(df, text_col: str = "text",
     decides, the word_rarity lesson); the classes dim (3 rows: prior,
     unseen-default, denominator) IS broadcast — genuinely bounded.
     Returns (id, label_lang, pred_lang, score_mn, agree)."""
+    from .dedup import _track
+
     labeled = df.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("t"),
                         lang_id(F.col(text_col)).alias("label"))
+    # r8: the per-doc label relation (id+label, no text) materializes
+    # once — the stopword vote otherwise re-ran over the corpus for the
+    # class priors, the doc total AND the final join; likewise tf (per-
+    # doc types) feeds the model build and the scoring stream, and cwc
+    # (class-conditional counts) feeds three aggregates.  Corpus passes
+    # drop from ~7 to 2.
+    labels = _track(labeled.select("id", "label"))
     w = labeled.select("id", "label",
                        F.explode(words(F.col("t"))).alias("wd"))
-    tf = w.groupBy("id", "label", "wd").agg(F.count(F.lit(1)).alias("tf"))
-    cwc = tf.groupBy("label", "wd").agg(F.sum("tf").alias("c"))
+    tf = _track(w.groupBy("id", "label", "wd")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    cwc = _track(tf.groupBy("label", "wd").agg(F.sum("tf").alias("c")))
     tot = cwc.groupBy("label").agg(F.sum("c").alias("tot"))
     vocab = cwc.agg(F.count_distinct(F.col("wd")).alias("v"))
-    nd = labeled.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
-    nall = labeled.agg(F.count(F.lit(1)).alias("nall"))
+    nd = labels.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
+    nall = labels.agg(F.count(F.lit(1)).alias("nall"))
     classes = (nd.join(tot, "label")
                .crossJoin(F.broadcast(vocab))
                .crossJoin(F.broadcast(nall))
@@ -986,7 +1007,7 @@ def nb_lang_classifier(df, text_col: str = "text",
                  .alias("m"))
             .select("id", F.col("m.lang").alias("pred"),
                     F.col("m.score_mn").alias("score_mn")))
-    return (labeled.select("id", "label").join(pred, "id")
+    return (labels.join(pred, "id")
             .select(F.col("id").alias(id_col),
                     F.col("label").alias("label_lang"),
                     F.col("pred").alias("pred_lang"),
@@ -1052,9 +1073,13 @@ def source_kl_divergence(df, text_col: str = "text",
     the corpus, AQE decides), and the per-source totals join is
     source-keyed with no hint either (web corpora have 10^7+ domains).
     Returns (source, n_tokens, kl_mn)."""
+    from .dedup import _track
+
     w = df.select(F.col(source_col).alias("src"),
                   F.explode(words(F.col(text_col))).alias("wd"))
-    sw = w.groupBy("src", "wd").agg(F.count(F.lit(1)).alias("c"))
+    # r8: sw feeds the per-source totals, the corpus side AND the final
+    # join — materialized once instead of three corpus explodes
+    sw = _track(w.groupBy("src", "wd").agg(F.count(F.lit(1)).alias("c")))
     ts = sw.groupBy("src").agg(F.sum("c").alias("tsrc"))
     cw = sw.groupBy("wd").agg(F.sum("c").alias("cw"))
     tot = cw.agg(F.sum("cw").alias("t"))
@@ -1258,9 +1283,13 @@ def bigram_backoff_logprob(df, min_count: int = 2,
     scored by a surviving bigram."""
     ws = words(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    from .dedup import _track
+
     tfu = (base.select("id", F.explode("ws").alias("wd"))
            .groupBy("id", "wd").agg(F.count(F.lit(1)).alias("tf")))
-    uni = tfu.groupBy("wd").agg(F.sum("tf").alias("cu"))
+    # r8: uni feeds the corpus total, the unigram model and the bigram
+    # model join — materialized once (vocabulary-sized)
+    uni = _track(tfu.groupBy("wd").agg(F.sum("tf").alias("cu")))
     tot = uni.agg(F.sum("cu").alias("t"))
     mnu = (uni.crossJoin(F.broadcast(tot))
            .select("wd",
@@ -1275,6 +1304,8 @@ def bigram_backoff_logprob(df, min_count: int = 2,
                         F.element_at(F.col("ws"), i + 1).alias("w2")))
     ).otherwise(F.array())).alias("p")).select("id", "p.w1", "p.w2")
         .groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")))
+    # r8: tfb feeds the corpus bigram table AND the scoring join
+    tfb = _track(tfb)
     cbg = (tfb.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
            .where(F.col("cb") >= int(min_count)))
     mnbg = (cbg.join(uni.select(F.col("wd").alias("w1"),
