@@ -581,9 +581,15 @@ def _floor_div(num, den):
     DuckDB's % are both truncated (sign-of-dividend) remainders, so
     ((n % d) + d) % d is the canonical non-negative remainder on BOTH
     engines and (n - that)/d is exactly divisible — no float division,
-    no engine-specific // semantics."""
+    no engine-specific // semantics.
+
+    r8 (ADVICE r7): the exactly-divisible quotient is taken with
+    Spark's INTEGRAL ``div``, not double division — the previous
+    (num - pymod) / den cast('long') rounded the numerator in double
+    once it passed 2^53 (heavy_hitter ppm with counts > ~9e9), which
+    could land ppm off by one vs the oracle's exact BIGINT ``//``."""
     pymod = ((num % den) + den) % den
-    return ((num - pymod) / den).cast("long")
+    return F.call_function("div", num - pymod, den)
 
 
 def calibrated_quality_cut(df, keep_ppm: int = 800_000,

@@ -54,13 +54,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     S x — the intended trade when |right| << |left| on the hot key.
     """
     by = list(by)
-    taken = set(_ASOF_RESERVED) & set(left.columns)
+    # r8 (ADVICE r7): the guard covers by/right_cols too — a by column
+    # named _sl (under salt) or a right_cols entry named _ap/_ir/_m
+    # would be silently overwritten or raise confusingly downstream
+    taken = (set(_ASOF_RESERVED)
+             & (set(left.columns) | set(by) | set(right_cols)))
     if taken:
         raise ValueError(
-            f"asof_join: left columns {sorted(taken)} collide with "
-            f"internal staging names {_ASOF_RESERVED}; rename them "
-            "before joining (withColumn would silently overwrite and "
-            "drop them from the output)")
+            f"asof_join: columns {sorted(taken)} (in left/by/right_cols) "
+            f"collide with internal staging names {_ASOF_RESERVED}; "
+            "rename them before joining (withColumn would silently "
+            "overwrite and drop them from the output)")
     payload = F.struct(F.col(on).alias("_mts"),
                        *[F.col(c).alias(c) for c in right_cols])
     rt = right.select(*by, F.col(on).alias(on), payload.alias("_ap"),
@@ -71,8 +75,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     part = list(by)
     if salt is not None and int(salt) > 1:
         s = int(salt)
+        # r8 (ADVICE r7): salt over ALL left columns, not the timestamp
+        # alone — bursty logs share coarse timestamps, which funneled a
+        # hot key into one sub-partition anyway.  Correctness is
+        # unaffected (right replicates to every sub-partition), and the
+        # hash stays content-derived, so task retries re-derive the
+        # same sub-partition (SPARK-38388 class of bug avoided).
         lt = lt.withColumn(
-            "_sl", F.pmod(F.xxhash64(F.col(on)), F.lit(s)).cast("int"))
+            "_sl", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                          F.lit(s)).cast("int"))
         rt = (rt.withColumn(
             "_sl", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
             .withColumn("_sl", F.col("_sl").cast("int")))
