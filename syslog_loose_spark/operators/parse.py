@@ -538,16 +538,18 @@ def parse_lines(lines, raws, cfg: ParseConfig):
         m = m5424(s)
         if m is None:
             return _NOT
-        g = m.group
-        pri = g("pri")
+        # ONE multi-name group call (the per-name calls were ~10% of
+        # kernel CPU in the r8 profile)
+        (pri, ver, tok, host, app, proc, msgid, sds, msg) = m.group(
+            "pri", "ver", "ts", "host", "app", "proc", "msgid", "sd",
+            "msg")
         if pri is not None:
             pri = u_digits(pri, 255)
             if pri is None:
                 return _BAIL     # nom leaves an overflowing PRI unconsumed
-        ver = u_digits(g("ver"), U32_MAX)
+        ver = u_digits(ver, U32_MAX)
         if ver is None:
             return _NOT
-        tok = g("ts")
         if tok == "-":
             epoch = off = None
         else:
@@ -555,10 +557,8 @@ def parse_lines(lines, raws, cfg: ParseConfig):
             if r is None:
                 return _NOT
             epoch, off = r
-        host = g("host")
         if host == ":" or host[-1] == ":":
             return _NOT
-        app, proc, msgid = g("app"), g("proc"), g("msgid")
         if app == ":" or proc == ":" or msgid == ":":
             return _NOT
         host = None if host == "-" else host
@@ -567,7 +567,6 @@ def parse_lines(lines, raws, cfg: ParseConfig):
         pid = pname = None
         if proc != "-":
             pid, pname = _procid(proc)
-        sds = g("sd")
         sd = memo_sd5424.get(sds)
         if sd is None:
             sd = _sd_elements(sds)
@@ -579,21 +578,22 @@ def parse_lines(lines, raws, cfg: ParseConfig):
             fac = f if f <= 23 else None
             sev = pri & 7
         return ("RFC5424", ver, fac, sev, epoch, off, host, app, pid,
-                pname, msgid, sd, g("msg"))
+                pname, msgid, sd, msg)
 
     def fast_3164(s: str):
         m = m3164(s)
         if m is None:
             return _NOT
         g = m.group
-        pri = g("pri")
+        # one multi-name fetch for the fields every branch needs
+        (pri, mon, mon2, tsdash, f1, f2, sds, msg) = g(
+            "pri", "mon1", "mon2", "tsdash", "f1", "f2", "sd", "msg")
         if pri is not None:
             pri = u_digits(pri, 255)
             if pri is None:
                 return _BAIL
-        mon = g("mon1")
         if mon is not None:
-            key = (mon, g("d1"), g("h1"), g("mi1"), g("s1"))
+            key = (mon,) + g("d1", "h1", "mi1", "s1")
             r = memo_3164ts.get(key, 0)
             if r == 0:
                 mo = months.get(mon.lower())
@@ -622,8 +622,8 @@ def parse_lines(lines, raws, cfg: ParseConfig):
                 # nom's timestamp (and thus 3164) fails -> fallback
                 return _NOT
             epoch, off = r
-        elif g("mon2") is not None:
-            key = (g("mon2"), g("d2"), g("y2"), g("h2"), g("mi2"), g("s2"))
+        elif mon2 is not None:
+            key = (mon2,) + g("d2", "y2", "h2", "mi2", "s2")
             r = memo_3164ts.get(key, 0)
             if r == 0:
                 mo = months.get(key[0].lower())
@@ -660,14 +660,13 @@ def parse_lines(lines, raws, cfg: ParseConfig):
             if r is None:
                 return _NOT   # same reasoning as the no-year branch
             epoch, off = r
-        elif g("tsdash") is not None:
+        elif tsdash is not None:
             epoch = off = None
         else:
             r = _rfc3339_fast(g("ts3"), memo_3339)
             if r is None:
                 return _NOT   # all three ts alternatives failed -> fallback
             epoch, off = r
-        f1, f2 = g("f1"), g("f2")
         # '-:' split-back keeps the literal '-' hostname (see _parse_3164)
         if f1 is None:
             f1 = _ABSENT
@@ -676,7 +675,6 @@ def parse_lines(lines, raws, cfg: ParseConfig):
         f2 = _ABSENT if f2 is None else (None if f2 == "-" else f2)
         host, app, pid_tok = _resolve_host_tag(f1, f2)
         pid, pname = _procid(pid_tok) if pid_tok is not None else (None, None)
-        sds = g("sd")
         if sds is None:
             sd = []
         else:
@@ -691,7 +689,7 @@ def parse_lines(lines, raws, cfg: ParseConfig):
             fac = f if f <= 23 else None
             sev = pri & 7
         return ("RFC3164", None, fac, sev, epoch, off, host, app, pid,
-                pname, None, sd, g("msg"))
+                pname, None, sd, msg)
 
     for i in range(n):
         s = lines[i].strip(REF_WS)

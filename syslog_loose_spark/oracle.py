@@ -132,6 +132,13 @@ def u_digits(ds: str, max_value: int) -> Optional[int]:
     overflow is a parse failure — never a crash.  Python's bare int()
     would raise ValueError past 4,300 digits (CPython's conversion
     limit), killing the task on one adversarial line."""
+    if ds and len(ds) <= 9:
+        # fast path (r8): any 9-digit run is < 10^9, far below Python's
+        # conversion limit, so the checked compare alone suffices —
+        # skips the per-call lstrip + str(max_value) construction on
+        # the hot parse path.  Identical result by construction.
+        v = int(ds)
+        return v if v <= max_value else None
     ds = ds.lstrip("0")
     if len(ds) > len(str(max_value)):
         return None
