@@ -1242,13 +1242,18 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_loose_spark.functions.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
-    keep = (docs.where(T.lang_id(F.col("text")) == "en")
-            .where(T.quality_score(F.col("text")) >= 0.5))
+    # r8: keep feeds the repetition stats AND the survivor join; keep2
+    # feeds the simhash banding AND the canonical anti-join — both
+    # materialize once through the tracked registry (same survivor-
+    # persistence decision as curation_v2's kept1/kept2) instead of
+    # replaying the lang/quality filter subtree per consumer
+    keep = D._track(docs.where(T.lang_id(F.col("text")) == "en")
+                    .where(T.quality_score(F.col("text")) >= 0.5))
     rep_ok = (repetition_stats(keep)
               .where((F.col("dup_word_frac") <= 0.65)
                      & (F.col("top_bigram_frac") <= 0.06))
               .select("doc_id"))
-    keep2 = keep.join(rep_ok, "doc_id")
+    keep2 = D._track(keep.join(rep_ok, "doc_id"))
     pairs = D.simhash_near_dups(keep2, max_hamming=3, bands=4)
     final = D.drop_near_dup_docs(keep2, pairs)
     return (final.select(

@@ -112,6 +112,23 @@ def unpersist_tracked() -> int:
     return len(live)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan widening (r8): a fixture-sized input arrives
+    as a single parquet row group — ONE scan task — which serializes the
+    expensive per-row kernels (simhash votes, winnow/minhash md5 chains,
+    ANN encode folds) these operators run before their first shuffle.
+    Widen to the session's parallelism when the scan is narrower; at
+    real scale inputs already carry more splits than cores and this is
+    a NO-OP (the same pattern the BPE trainers use).  Results are
+    unaffected: every consumer is order-independent, and Spark's
+    sort-before-repartition keeps the round-robin assignment
+    deterministic under retries."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def cap_buckets(df: DataFrame, keys: list[str],
                 max_bucket_size: int) -> DataFrame:
     """Drop degenerate buckets before a bucket-equality self-join — one
@@ -176,9 +193,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     ``unpersist_tracked()`` once the result is materialized.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.array_distinct(
-                      shingles(F.col(text_col), n))).alias("sh"))
+        _widen(df).select(F.col(id_col).alias("id"),
+                          F.explode(F.array_distinct(
+                              shingles(F.col(text_col), n))).alias("sh"))
         .distinct()
     )
     if persist:
@@ -241,7 +258,7 @@ def minhash_signature_df(df: DataFrame, k: int = 8, n: int = 3,
     def _mh(ai: int, bi: int):
         return lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(MERSENNE)
 
-    hashed = df.select(
+    hashed = _widen(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.array_distinct(shingles(F.col(text_col), n)),
                     word_hash).alias("hs"),
@@ -382,7 +399,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, bands: int = 4,
     mask = (1 << width) - 1
     # NB: sh itself has a single consumer (sliced) — only the sliced
     # relation, read 3x, is worth caching
-    sh = simhash_df(df, text_col, id_col)
+    sh = simhash_df(_widen(df), text_col, id_col)
     sliced = sh.select(
         "id", "sh",
         F.explode(F.array(*[
@@ -786,8 +803,8 @@ def winnow_near_dups(df: DataFrame, k: int = 4, w: int = 5,
     oracle-replicable); the fingerprint relation persists through the
     bounded registry (cap agg + both join sides read it).  Returns
     (a, b, n_shared) with n_shared >= min_shared."""
-    fps = _track(winnow_fingerprints(df, k=k, w=w, text_col=text_col,
-                                     id_col=id_col))
+    fps = _track(winnow_fingerprints(_widen(df), k=k, w=w,
+                                     text_col=text_col, id_col=id_col))
     capped = cap_buckets(fps, ["fp"], max_bucket_size)
     return (capped.alias("x").join(capped.alias("y"), "fp")
             .where(F.col("x.id") < F.col("y.id"))

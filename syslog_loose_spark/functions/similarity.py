@@ -41,9 +41,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        norm(F.col(vec_col)).alias("qn"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"),
-                      norm(F.col(vec_col)).alias("cn"))
+    from .dedup import _widen
+
+    c = _widen(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv"),
+                              norm(F.col(vec_col)).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -185,8 +187,11 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     recall is tunable via bands.  Degenerate buckets are capped like the
     dedup joins.
     """
+    from .dedup import _widen
+
     bands = _as_bands(plane_bands(seed=17) if planes is None else planes)
-    bucketed = _banded_buckets(corpus, bands, id_col, vec_col, "id", "v")
+    bucketed = _banded_buckets(_widen(corpus), bands, id_col, vec_col,
+                               "id", "v")
     if persist:
         # 3 consumers (cap agg + both join sides): cache so the hyperplane
         # sign folds run once, not three times (same bounded-registry
@@ -571,7 +576,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, m: int = 8,
         lambda s: _pq_choose(
             F.col("cb"), s,
             F.slice(F.col("v"), s * d_sub + 1, d_sub)))
-    enc = (corpus.crossJoin(F.broadcast(cb_one))
+    from .dedup import _widen
+
+    enc = (_widen(corpus).crossJoin(F.broadcast(cb_one))
            .select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("v"), "cb")
            .select("neighbor_id",
@@ -785,7 +792,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
         ranked = F.reverse(F.array_sort(scored_cells(vec, vn)))
         return F.slice(F.transform(ranked, lambda s: s["cell"]), 1, top)
 
-    c = corpus.crossJoin(F.broadcast(cents_one)).select(
+    from .dedup import _widen
+
+    c = _widen(corpus).crossJoin(F.broadcast(cents_one)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -867,7 +876,9 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 16,
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: _pq_choose(
             F.col("cb"), s, F.slice(F.col("v"), s * d_sub + 1, d_sub)))
-    enc = (corpus.crossJoin(F.broadcast(index_one))
+    from .dedup import _widen
+
+    enc = (_widen(corpus).crossJoin(F.broadcast(index_one))
            .select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("v"),
                    norm(F.col(vec_col)).alias("vn"), "cents", "cb")
@@ -965,8 +976,10 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                 _ivf_lloyd_refine(train, cents_one, id_col, vec_col))
         if lloyd_rounds:
             cents_one = _track_persist(cents_one)
+    from .dedup import _widen
+
     assigned = _track(
-        corpus.crossJoin(F.broadcast(cents_one))
+        _widen(corpus).crossJoin(F.broadcast(cents_one))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                 norm(F.col(vec_col)).alias("vn"), "cents")
         .select("id", "v", "vn",
