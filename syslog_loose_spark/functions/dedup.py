@@ -576,7 +576,7 @@ def contamination_hits(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     ev = (eval_docs.select(F.explode(F.array_distinct(
               shingles(F.col(text_col), n))).alias("gram"))
           .distinct())
-    corpus = docs.select(
+    corpus = _widen(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(
             shingles(F.col(text_col), n))).alias("gram"))
@@ -603,6 +603,7 @@ def duplicated_ngram_stats(docs: DataFrame, n: int = 8,
     word_rarity_stats / remove_boilerplate_lines).  The gram stream
     shuffles once for the count and once for the per-doc agg; nothing is
     collected.  Returns (id, n_grams, n_dup, dup_frac)."""
+    docs = _widen(docs)
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(
@@ -662,6 +663,7 @@ def strip_duplicated_spans(docs: DataFrame, n: int = 8,
         F.transform(F.sequence(F.lit(0), F.size(w) - F.lit(n)),
                     lambda i: F.array_join(F.slice(w, i + 1, n), " "))
     ).otherwise(F.array().cast("array<string>"))
+    docs = _widen(docs)
     g = docs.select(F.col(id_col).alias("id"),
                     F.posexplode(gram_arr).alias("pos", "gram"))
     dup = (g.groupBy("gram")

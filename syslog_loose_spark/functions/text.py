@@ -895,7 +895,10 @@ def bigram_pmi_top(df, k: int = 50, min_count: int = 5,
     grows with the corpus, AQE decides), two 1-row broadcast totals,
     and a TakeOrdered top-k (per-partition partial, never a global
     sort).  Returns (w1, w2, n_pair, pmi_mn)."""
+    from .dedup import _widen
+
     ws = words(F.col(text_col))
+    df = _widen(df)
     bg = df.select(F.explode(F.when(
         F.size(ws) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
