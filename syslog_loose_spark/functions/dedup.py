@@ -89,8 +89,19 @@ def _track(df: DataFrame) -> DataFrame:
     recompute), acceptable for bounded stage relations.  Values are
     unchanged — every tracked relation is deterministic by construction.
     Eviction/unpersist still runs through the registry: dropping the
-    reference lets the ContextCleaner free checkpoint blocks."""
-    return _register(df.localCheckpoint(eager=True))
+    reference lets the ContextCleaner free checkpoint blocks, and
+    unpersist_tracked() additionally unpersists the checkpointed RDD
+    DIRECTLY (the ContextCleaner's weak-ref path needs a JVM GC cycle;
+    measured: without the direct drop a long-lived session accumulated
+    one persistent RDD per tracked stage across the whole query suite)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        # the checkpointed blocks' RDD handle, for the explicit drop in
+        # unpersist_tracked (LogicalRDD.rdd via the JVM plan)
+        ck._ck_rdd = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        ck._ck_rdd = None
+    return _register(ck)
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
@@ -104,10 +115,22 @@ def _track_persist(df: DataFrame) -> DataFrame:
 
 
 def unpersist_tracked() -> int:
-    """Release every live tracked cache (call after materializing)."""
+    """Release every live tracked cache (call after materializing).
+
+    NB (r8): for checkpoint-tracked relations this DROPS THE BLOCKS —
+    lineage is truncated, so a still-held DataFrame handle cannot be
+    re-executed afterwards (unlike the old persist path, which fell back
+    to recompute).  The contract is unchanged in spirit: call only after
+    the results are materialized."""
     with _PERSISTED_LOCK:
         live, _PERSISTED[:] = _PERSISTED[:], []
     for df in live:
+        rdd = getattr(df, "_ck_rdd", None)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
         _drop(df)
     return len(live)
 
