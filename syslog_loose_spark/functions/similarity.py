@@ -171,11 +171,158 @@ def _banded_buckets(df: DataFrame, bands, id_col: str, vec_col: str,
     ).select(id_alias, vec_alias, n_alias, "bk.band", "bk.bucket")
 
 
+def _bucket_pair_scores(it):
+    """mapInArrow kernel for embedding_near_dups' large-corpus re-score:
+    the input partition holds WHOLE (band, bucket) groups sorted by
+    (band, bucket); emit one row per in-bucket candidate pair with the
+    exact left-fold dot product ``d`` and the norm product ``nn``.
+
+    Bit-exactness contract (same as the driver-side ANN replays): ``d``
+    replays the engine's ``aggregate(zip_with(a, b, *), 0.0, +)`` — a
+    left-to-right float64 fold over dims, evaluated here as 64 vectorized
+    adds in dim order, each a float64 IEEE add of identical operands —
+    and ``nn`` is one float64 multiply, so round(d/nn, 4) downstream is
+    bit-identical to the JVM join path.  Null semantics replicated:
+    a pair is null-``d`` when either vector is NULL, has a NULL element,
+    or the lengths differ (zip_with pads with null -> null sum); ``nn``
+    is null when either precomputed norm is NULL.  Data NaNs (as opposed
+    to nulls) flow through as NaN, matching the JVM fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        return
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    vn_col = tbl.column("v_n")
+    if isinstance(vn_col, pa.ChunkedArray):
+        vn_col = vn_col.combine_chunks()
+    vns = vn_col.to_numpy(zero_copy_only=False)        # nulls -> NaN
+    vn_null = (vn_col.is_null().to_numpy(zero_copy_only=False)
+               if vn_col.null_count else np.zeros(n, dtype=bool))
+    v = tbl.column("v")
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    offs = v.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    vals = v.values
+    invalid = (v.is_null().to_numpy(zero_copy_only=False)
+               if v.null_count else np.zeros(n, dtype=bool))
+    if vals.null_count:
+        elem_null = vals.is_null().to_numpy(zero_copy_only=False)
+        cs = np.concatenate(([0], np.cumsum(elem_null)))
+        invalid = invalid | ((cs[offs[1:]] - cs[offs[:-1]]) > 0)
+    V = vals.to_numpy(zero_copy_only=False)            # nulls -> NaN
+
+    # (band, bucket) run boundaries — rows arrive sorted by both
+    band = tbl.column("band")
+    buck = tbl.column("bucket")
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = (
+            pc.not_equal(band.slice(1), band.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False)
+            | pc.not_equal(buck.slice(1), buck.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+
+    tri_cache: dict = {}
+    ii_parts, jj_parts = [], []
+    for s, e in zip(starts, ends):
+        g = e - s
+        if g < 2:
+            continue
+        tri = tri_cache.get(g)
+        if tri is None:
+            tri = np.triu_indices(g, k=1)
+            tri_cache[g] = tri
+        ii_parts.append(tri[0] + s)
+        jj_parts.append(tri[1] + s)
+    if not ii_parts:
+        return
+    ii = np.concatenate(ii_parts)
+    jj = np.concatenate(jj_parts)
+    # orient a < b by id (the join path's x.id < y.id): symmetric per-dim
+    # multiply keeps d bit-identical either way; drop id-equal row pairs
+    # (strict < never pairs them)
+    keep = ids[ii] != ids[jj]
+    ii, jj = ii[keep], jj[keep]
+    swap = ids[ii] > ids[jj]
+    ii2 = np.where(swap, jj, ii)
+    jj2 = np.where(swap, ii, jj)
+    npairs = len(ii2)
+
+    d = np.zeros(npairs, dtype=np.float64)
+    d_null = np.zeros(npairs, dtype=bool)
+    if not invalid.any() and (n == 0 or (lens == lens[0]).all()):
+        # clean uniform-dim fast path: transpose once so each per-dim
+        # gather reads an L2-resident row (the row-gather layout was
+        # measured 10x slower — 64 strided 512B accesses per pair)
+        dim = int(lens[0]) if n else 0
+        Xt = np.ascontiguousarray(
+            V[offs[0]:offs[-1]].reshape(n, dim).T) if dim else None
+        for t in range(dim):
+            row = Xt[t]
+            d += row[ii2] * row[jj2]
+    else:
+        # ragged / null-bearing partition (rare): per length class
+        ok = ~invalid[ii2] & ~invalid[jj2] & (lens[ii2] == lens[jj2])
+        d_null = ~ok
+        d[d_null] = np.nan
+        for ln in np.unique(lens[ii2][ok]):
+            sel = ok & (lens[ii2] == ln)
+            oa = offs[ii2[sel]]
+            ob = offs[jj2[sel]]
+            acc = np.zeros(int(sel.sum()), dtype=np.float64)
+            for t in range(int(ln)):
+                acc += V[oa + t] * V[ob + t]
+            d[sel] = acc
+
+    nn = vns[ii2] * vns[jj2]
+    nn_null = vn_null[ii2] | vn_null[jj2]
+    out = pa.table({
+        "a": pa.array(ids[ii2], pa.int64()),
+        "b": pa.array(ids[jj2], pa.int64()),
+        "d": pa.array(d, pa.float64(),
+                      mask=d_null if d_null.any() else None),
+        "nn": pa.array(nn, pa.float64(),
+                       mask=nn_null if nn_null.any() else None),
+    })
+    for b in out.to_batches(max_chunksize=1 << 16):
+        yield b
+
+
+def _tracked_storage_bytes(df: DataFrame) -> int | None:
+    """Size of a _track-materialized relation's checkpoint blocks, read
+    from the block manager's storage info — NO job, just a status call
+    (the blocks already exist: _track's localCheckpoint is eager)."""
+    rdd = getattr(df, "_ck_rdd", None)
+    if rdd is None:
+        return None
+    try:
+        rid = rdd.id()
+        jsc = df.sparkSession.sparkContext._jsc.sc()
+        for info in jsc.getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        return None
+    return None
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
                         planes=None, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         max_bucket_size: int = 1000,
-                        persist: bool = True) -> DataFrame:
+                        persist: bool = True,
+                        arrow_rescore_bytes: int | None = 64 << 20
+                        ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     Scale shape: random-hyperplane LSH bucket SELF-join (multi-band
@@ -186,6 +333,22 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     4-plane bands recover ~77% of true pairs per band (~95% with both) —
     recall is tunable via bands.  Degenerate buckets are capped like the
     dedup joins.
+
+    r8: when the materialized banded relation reaches
+    ``arrow_rescore_bytes`` (default 64 MiB; None = never, 0 = always;
+    measured from the checkpoint blocks' storage info — no extra job,
+    so the small-corpus path pays nothing) the candidate re-score runs
+    as a bucket-partitioned Arrow kernel instead of the JVM self-join:
+    the per-pair higher-order dot fold is interpreted row-at-a-time and
+    measured ~16 µs/pair, so at 80k vectors (~8M candidate pairs) the
+    numpy left-fold replay is 2.2x faster end to end (6.3 -> 2.9 s).
+    The Arrow input is repartitioned by (band, bucket) and pinned with a
+    localCheckpoint — AQE otherwise replans the explicit repartition
+    away (observed: broadcast-flipped join + single coalesced
+    partition).  Results are bit-identical to the join path (same fold
+    order, same null semantics) — pinned by the differential tests at
+    arrow_rescore_bytes=0.  With ``persist=False`` there is no
+    materialized relation to size, so only the forced 0 engages Arrow.
     """
     from .dedup import _widen
 
@@ -202,6 +365,45 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
     from .dedup import cap_buckets
 
     capped = cap_buckets(bucketed, ["band", "bucket"], max_bucket_size)
+    # the Arrow kernel replays the fold on RAW v values, which is only
+    # bit-equal to the JVM dot (per-element cast-to-double THEN multiply)
+    # when the elements already ARE doubles; ids are emitted as int64
+    from pyspark.sql import types as T
+
+    sch = {f.name: f.dataType for f in capped.schema.fields}
+    arrow_typed = (isinstance(sch["id"], T.LongType)
+                   and isinstance(sch["v"], T.ArrayType)
+                   and isinstance(sch["v"].elementType, T.DoubleType))
+    n_bytes = None
+    use_arrow = arrow_rescore_bytes == 0
+    if use_arrow and not arrow_typed:
+        raise ValueError(
+            "arrow_rescore_bytes=0 requires bigint ids and array<double> "
+            f"vectors, got id={sch['id']} v={sch['v']}")
+    if (not use_arrow and arrow_rescore_bytes is not None and persist
+            and arrow_typed):
+        n_bytes = _tracked_storage_bytes(bucketed)
+        use_arrow = n_bytes is not None and n_bytes >= arrow_rescore_bytes
+    if use_arrow:
+        from .dedup import _track
+        import math
+
+        sc = corpus.sparkSession.sparkContext
+        n_parts = sc.defaultParallelism
+        if n_bytes:
+            # scale-adaptive: ~128 MiB of banded rows per scoring
+            # partition, never below session parallelism
+            n_parts = max(n_parts, math.ceil(n_bytes / (128 << 20)))
+        prepped = _track(
+            capped.repartition(n_parts, "band", "bucket")
+            .sortWithinPartitions("band", "bucket"))
+        scored = prepped.mapInArrow(
+            _bucket_pair_scores, "a bigint, b bigint, d double, nn double")
+        return (
+            scored.withColumn("sim", F.round(F.col("d") / F.col("nn"), 4))
+            .groupBy("a", "b").agg(F.min("sim").alias("sim"))
+            .where(F.col("sim") >= threshold)
+        )
     return (
         capped.alias("x").join(capped.alias("y"), ["band", "bucket"])
         .where(F.col("x.id") < F.col("y.id"))
